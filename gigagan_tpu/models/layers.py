@@ -1,0 +1,429 @@
+"""Core layer modules (flax.linen), channels-last throughout.
+
+Parity map to the reference (gigagan_pytorch/gigagan_pytorch.py):
+- RMSNorm / ChannelRMSNorm (:224-242) — identical in NHWC, one module
+- Blur/Upsample/PixelShuffleUpsample/Downsample (:246-293)
+- SqueezeExcite (:297-307), Noise (:925-940), EqualLinear (:871-887)
+- AdaptiveConv2DMod/1DMod (:315-507) → `AdaptiveConv` over `ops.adaptive_conv`
+- SelfAttention (:513-594), CrossAttention (:596-655), TextAttention
+  (:659-722), FeedForward (:726-740), blocks + Transformer (:744-804)
+
+Design notes (TPU-first):
+- 1x1 convs are `nn.Dense` on the trailing channel axis — identical math,
+  and XLA fuses the surrounding elementwise ops into the matmul.
+- attention runs through `ops.attention.attend`, which the Pallas flash
+  kernel can replace per size; null-KV slots are concatenated here so the
+  core stays shape-static.
+- all params are fp32; `dtype` selects the bf16/fp32 compute type.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange, repeat
+from flax import linen as nn
+from jax import lax
+
+from gigagan_tpu import ops
+from gigagan_tpu.utils import default, exists
+from gigagan_tpu.utils.init import (
+    kaiming_normal_leaky,
+    pixel_shuffle_icnr_init,
+)
+
+Dtype = Any
+
+KAIMING_CONV = kaiming_normal_leaky("conv")
+KAIMING_DENSE = kaiming_normal_leaky("linear")
+
+
+def leaky_relu(x, neg_slope: float = 0.2):
+    return jax.nn.leaky_relu(x, negative_slope=neg_slope)
+
+
+def l2norm(x, axis=-1, eps: float = 1e-12):
+    """torch F.normalize semantics: x / max(||x||2, eps)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
+                            keepdims=True))
+    return (x / jnp.maximum(norm, eps).astype(x.dtype)).astype(x.dtype)
+
+
+def conv3x3(features: int, dtype=None, name=None):
+    return nn.Conv(features, (3, 3), padding="SAME",
+                   kernel_init=KAIMING_CONV, dtype=dtype, name=name)
+
+
+def conv1x1(features: int, use_bias: bool = True, dtype=None, name=None):
+    return nn.Dense(features, use_bias=use_bias,
+                    kernel_init=KAIMING_DENSE, dtype=dtype, name=name)
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm over the channel (last) axis; covers both the reference's
+    RMSNorm and ChannelRMSNorm since we are channels-last."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        scale = self.dim ** 0.5
+        return l2norm(x) * (scale * gamma).astype(x.dtype)
+
+
+class Upsample(nn.Module):
+    """Bilinear 2x + binomial blur (reference: :257-261). Parameter-free."""
+
+    def __call__(self, x):
+        return ops.resample.upsample_2x_blur(x)
+
+
+class PixelShuffleUpsample(nn.Module):
+    """1x1 conv to 4x channels, SiLU, pixel shuffle; ICNR init by default
+    (reference: :263-287).  The reference Generator's post-hoc kaiming
+    re-init overwrites ICNR (apply(init_) at :1124 runs after construction);
+    pass use_icnr=False to reproduce that."""
+
+    dim_out: Optional[int] = None
+    use_icnr: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim_out = default(self.dim_out, x.shape[-1])
+        init = pixel_shuffle_icnr_init(4) if self.use_icnr else KAIMING_DENSE
+        x = nn.Dense(dim_out * 4, kernel_init=init, dtype=self.dtype,
+                     name="conv")(x)
+        x = jax.nn.silu(x)
+        return ops.resample.pixel_shuffle(x, 2)
+
+
+class Downsample(nn.Module):
+    """space-to-depth + 1x1 conv (reference: :289-293)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ops.resample.space_to_depth(x)
+        return conv1x1(self.dim, dtype=self.dtype, name="proj")(x)
+
+
+class SqueezeExcite(nn.Module):
+    """Global pool → MLP → sigmoid gate (reference: :297-307).  Returns the
+    (b, 1, 1, dim_out) gate; the caller multiplies it into a deeper layer."""
+
+    dim_out: int
+    reduction: int = 4
+    dim_min: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim_hidden = max(self.dim_out // self.reduction, self.dim_min)
+        g = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))
+        g = conv1x1(dim_hidden, dtype=self.dtype, name="fc1")(g)
+        g = jax.nn.silu(g)
+        g = conv1x1(self.dim_out, dtype=self.dtype, name="fc2")(g)
+        g = jax.nn.sigmoid(g)
+        return g[:, None, None, :]
+
+
+class Noise(nn.Module):
+    """Per-pixel noise with learned per-channel weight (reference: :925-940).
+    Explicit `noise` wins; otherwise draws from the 'noise' RNG stream."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, noise=None):
+        weight = self.param("weight", nn.initializers.zeros, (x.shape[-1],))
+        if not exists(noise):
+            key = self.make_rng("noise")
+            noise = jax.random.normal(key, (*x.shape[:-1], 1), x.dtype)
+        return x + weight.astype(x.dtype) * noise
+
+
+class EqualLinear(nn.Module):
+    """StyleGAN equalized linear: weight ~ N(0,1), runtime lr_mul scaling
+    (reference: :871-887)."""
+
+    dim_out: int
+    lr_mul: float = 1.0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param(
+            "weight", nn.initializers.normal(1.0), (x.shape[-1], self.dim_out)
+        )
+        out = x @ (weight * self.lr_mul).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
+            out = out + (bias * self.lr_mul).astype(x.dtype)
+        return out
+
+
+class AdaptiveConv(nn.Module):
+    """Style-modulated, sample-adaptive conv (2d or 1d by input rank).
+    Thin module over `ops.adaptive_conv` (see there for the TPU-first
+    factoring; reference: :315-507)."""
+
+    dim_out: int
+    kernel: int = 3
+    demod: bool = True
+    num_conv_kernels: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fmap, mod, kernel_mod=None):
+        rank = fmap.ndim - 2
+        n = max(self.num_conv_kernels, 1)
+        weights = self.param(
+            "weights",
+            kaiming_normal_leaky("bank"),
+            (n, *((self.kernel,) * rank), fmap.shape[-1], self.dim_out),
+        )
+        if n == 1:
+            kernel_mod = None
+        return ops.adaptive_conv(
+            fmap.astype(self.dtype),
+            weights,
+            mod,
+            kernel_mod,
+            demod=self.demod,
+        )
+
+    @property
+    def adaptive(self):
+        return self.num_conv_kernels > 1
+
+
+class SelfAttention(nn.Module):
+    """GAN-stable self-attention on feature maps: L2-distance similarity with
+    shared q/k by default, learned null KV (reference: :513-594)."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    dot_product: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fmap):
+        b, h, w, _ = fmap.shape
+        inner = self.dim_head * self.heads
+
+        fmap = RMSNorm(self.dim, dtype=self.dtype, name="norm")(fmap)
+
+        q = conv1x1(inner, use_bias=False, dtype=self.dtype, name="to_q")(fmap)
+        v = conv1x1(inner, use_bias=False, dtype=self.dtype, name="to_v")(fmap)
+        if self.dot_product:
+            k = conv1x1(inner, use_bias=False, dtype=self.dtype,
+                        name="to_k")(fmap)
+        else:
+            k = q  # shared q/k space (ViTGAN)
+
+        q, k, v = (
+            rearrange(t, "b x y (h d) -> b h (x y) d", h=self.heads)
+            for t in (q, k, v)
+        )
+
+        null_kv = self.param(
+            "null_kv", nn.initializers.normal(1.0),
+            (2, self.heads, self.dim_head),
+        )
+        nk, nv = (
+            repeat(t, "h d -> b h 1 d", b=b).astype(q.dtype) for t in null_kv
+        )
+        k = jnp.concatenate((nk, k), axis=-2)
+        v = jnp.concatenate((nv, v), axis=-2)
+
+        out = ops.attend(
+            q, k, v,
+            l2_dist=not self.dot_product,
+            scale=self.dim_head ** -0.5,
+        )
+        out = rearrange(out, "b h (x y) d -> b x y (h d)", x=h, y=w)
+        return conv1x1(self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_out")(out)
+
+
+class CrossAttention(nn.Module):
+    """Feature-map queries attend to text tokens (reference: :596-655)."""
+
+    dim: int
+    dim_context: int
+    dim_head: int = 64
+    heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fmap, context, mask=None):
+        b, h, w, _ = fmap.shape
+        inner = self.dim_head * self.heads
+
+        fmap = RMSNorm(self.dim, dtype=self.dtype, name="norm")(fmap)
+        context = RMSNorm(self.dim_context, dtype=self.dtype,
+                          name="norm_context")(context)
+
+        q = conv1x1(inner, use_bias=False, dtype=self.dtype, name="to_q")(fmap)
+        kv = conv1x1(inner * 2, use_bias=False, dtype=self.dtype,
+                     name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = rearrange(q, "b x y (h d) -> b h (x y) d", h=self.heads)
+        k, v = (
+            rearrange(t, "b n (h d) -> b h n d", h=self.heads) for t in (k, v)
+        )
+
+        out = ops.attend(q, k, v, mask=mask, scale=self.dim_head ** -0.5)
+        out = rearrange(out, "b h (x y) d -> b x y (h d)", x=h, y=w)
+        return conv1x1(self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_out")(out)
+
+
+class TextAttention(nn.Module):
+    """Token self-attention with null KV + key-padding mask
+    (reference: :659-722)."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, encodings, mask=None):
+        b = encodings.shape[0]
+        inner = self.dim_head * self.heads
+
+        encodings = RMSNorm(self.dim, dtype=self.dtype, name="norm")(encodings)
+
+        qkv = conv1x1(inner * 3, use_bias=False, dtype=self.dtype,
+                      name="to_qkv")(encodings)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (
+            rearrange(t, "b n (h d) -> b h n d", h=self.heads)
+            for t in (q, k, v)
+        )
+
+        null_kv = self.param(
+            "null_kv", nn.initializers.normal(1.0),
+            (2, self.heads, self.dim_head),
+        )
+        nk, nv = (
+            repeat(t, "h d -> b h 1 d", b=b).astype(q.dtype) for t in null_kv
+        )
+        k = jnp.concatenate((nk, k), axis=-2)
+        v = jnp.concatenate((nv, v), axis=-2)
+
+        if exists(mask):
+            mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+
+        out = ops.attend(q, k, v, mask=mask, scale=self.dim_head ** -0.5)
+        out = rearrange(out, "b h n d -> b n (h d)")
+        return conv1x1(self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """RMSNorm → proj → GELU(exact) → proj (reference: :726-740).  The
+    channel_first variant collapses to the same module in NHWC."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim_hidden = int(self.dim * self.mult)
+        x = RMSNorm(self.dim, dtype=self.dtype, name="norm")(x)
+        x = conv1x1(dim_hidden, dtype=self.dtype, name="proj_in")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return conv1x1(self.dim, dtype=self.dtype, name="proj_out")(x)
+
+
+class SelfAttentionBlock(nn.Module):
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    dot_product: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = SelfAttention(
+            self.dim, dim_head=self.dim_head, heads=self.heads,
+            dot_product=self.dot_product, dtype=self.dtype, name="attn",
+        )(x) + x
+        x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype,
+                        name="ff")(x) + x
+        return x
+
+
+class CrossAttentionBlock(nn.Module):
+    dim: int
+    dim_context: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, mask=None):
+        x = CrossAttention(
+            self.dim, dim_context=self.dim_context, dim_head=self.dim_head,
+            heads=self.heads, dtype=self.dtype, name="attn",
+        )(x, context, mask=mask) + x
+        x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype,
+                        name="ff")(x) + x
+        return x
+
+
+class Transformer(nn.Module):
+    """Text transformer with final RMSNorm (reference: :780-804)."""
+
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        for i in range(self.depth):
+            x = TextAttention(
+                self.dim, dim_head=self.dim_head, heads=self.heads,
+                dtype=self.dtype, name=f"attn_{i}",
+            )(x, mask=mask) + x
+            x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype,
+                            name=f"ff_{i}")(x) + x
+        return RMSNorm(self.dim, dtype=self.dtype, name="norm")(x)
+
+
+class RandomFixedProjection(nn.Module):
+    """Frozen random projection (projected-GAN trick); stored as a flax
+    variable in the 'buffers' collection so optimizers never see it
+    (reference: :1319-1337)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from gigagan_tpu.utils.init import kaiming_normal_linear_fan_out
+
+        init = kaiming_normal_linear_fan_out("linear")
+        w = self.variable(
+            "buffers", "fixed_weights",
+            lambda: init(self.make_rng("params"), (x.shape[-1], self.dim_out)),
+        )
+        return x @ w.value.astype(x.dtype)

@@ -1,0 +1,30 @@
+from gigagan_tpu.ops.adaptive_conv import (
+    adaptive_conv,
+    adaptive_conv_reference,
+    kernel_gram,
+)
+from gigagan_tpu.ops.attention import attend, linear_attend
+from gigagan_tpu.ops.resample import (
+    blur_2d,
+    blur_3d,
+    upsample_2x,
+    space_to_depth,
+    downsample_hf_shuttle,
+    pixel_shuffle,
+    resize_image_to,
+)
+
+__all__ = [
+    "adaptive_conv",
+    "adaptive_conv_reference",
+    "kernel_gram",
+    "attend",
+    "linear_attend",
+    "blur_2d",
+    "blur_3d",
+    "upsample_2x",
+    "space_to_depth",
+    "downsample_hf_shuttle",
+    "pixel_shuffle",
+    "resize_image_to",
+]

@@ -1,0 +1,183 @@
+"""Unit tests for the functional ops: the decomposed adaptive conv against a
+per-sample materialization oracle, attention against naive math, resampling
+round-trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigagan_tpu import ops
+from gigagan_tpu.ops.adaptive_conv import adaptive_conv, adaptive_conv_reference
+
+
+def rand(key, *shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+class TestAdaptiveConv:
+    @pytest.mark.parametrize("num_kernels", [1, 2, 4])
+    @pytest.mark.parametrize("demod", [True, False])
+    def test_matches_per_sample_oracle_2d(self, num_kernels, demod):
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        b, h, w, ci, co, k = 3, 8, 8, 6, 10, 3
+        x = rand(keys[0], b, h, w, ci)
+        weights = rand(keys[1], num_kernels, k, k, ci, co) * 0.2
+        mod = rand(keys[2], b, ci)
+        kmod = rand(keys[3], b, num_kernels) if num_kernels > 1 else None
+
+        fast = adaptive_conv(x, weights, mod, kmod, demod=demod)
+        ref = adaptive_conv_reference(x, weights, mod, kmod, demod=demod)
+        np.testing.assert_allclose(fast, ref, rtol=2e-4, atol=2e-4)
+
+    def test_matches_per_sample_oracle_1d(self):
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        b, t, ci, co, n = 2, 16, 4, 8, 2
+        x = rand(keys[0], b, t, ci)
+        weights = rand(keys[1], n, 3, ci, co) * 0.2
+        mod = rand(keys[2], b, ci)
+        kmod = rand(keys[3], b, n)
+
+        fast = adaptive_conv(x, weights, mod, kmod)
+        ref = adaptive_conv_reference(x, weights, mod, kmod)
+        np.testing.assert_allclose(fast, ref, rtol=2e-4, atol=2e-4)
+
+    def test_batch_expansion(self):
+        """Multiscale D expands batch by stacking scale groups; mod must tile
+        with the scale group as the outer dim (reference:
+        gigagan_pytorch.py:365-374)."""
+        keys = jax.random.split(jax.random.PRNGKey(2), 4)
+        b, s = 2, 3
+        x = rand(keys[0], s * b, 8, 8, 4)
+        weights = rand(keys[1], 2, 3, 3, 4, 5) * 0.2
+        mod = rand(keys[2], b, 4)
+        kmod = rand(keys[3], b, 2)
+
+        out = adaptive_conv(x, weights, mod, kmod)
+        # group g of the expanded batch must equal running that group alone
+        # with the un-expanded mod
+        for g in range(s):
+            sub = adaptive_conv(x[g * b : (g + 1) * b], weights, mod, kmod)
+            np.testing.assert_allclose(out[g * b : (g + 1) * b], sub,
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_1x1_no_demod_is_plain_modulated_conv(self):
+        """to_rgb path: 1x1 kernel, single bank, no demod
+        (reference: gigagan_pytorch.py:1073)."""
+        keys = jax.random.split(jax.random.PRNGKey(3), 3)
+        x = rand(keys[0], 2, 4, 4, 6)
+        weights = rand(keys[1], 1, 1, 1, 6, 3)
+        mod = rand(keys[2], 2, 6)
+        out = adaptive_conv(x, weights, mod, None, demod=False)
+        expected = jnp.einsum(
+            "bhwi,io,bi->bhwo", x, weights[0, 0, 0], mod + 1.0
+        )
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+    def test_grad_flows(self):
+        keys = jax.random.split(jax.random.PRNGKey(4), 4)
+        x = rand(keys[0], 2, 8, 8, 4)
+        weights = rand(keys[1], 2, 3, 3, 4, 4) * 0.2
+        mod = rand(keys[2], 2, 4)
+        kmod = rand(keys[3], 2, 2)
+
+        def loss(w, m, km):
+            return jnp.sum(adaptive_conv(x, w, m, km) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(weights, mod, kmod)
+        for g in grads:
+            assert jnp.all(jnp.isfinite(g))
+            assert float(jnp.abs(g).max()) > 0
+
+
+class TestAttention:
+    def test_dot_product_matches_naive(self):
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = rand(keys[0], 2, 4, 9, 16)
+        k = rand(keys[1], 2, 4, 11, 16)
+        v = rand(keys[2], 2, 4, 11, 16)
+        out = ops.attend(q, k, v)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k) * 16 ** -0.5
+        expected = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim, -1), v)
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+    def test_l2_distance_similarity(self):
+        keys = jax.random.split(jax.random.PRNGKey(1), 2)
+        q = rand(keys[0], 1, 2, 5, 8)
+        k = rand(keys[1], 1, 2, 7, 8)
+        out = ops.attend(q, k, k, l2_dist=True)
+        dist = jnp.sum((q[:, :, :, None, :] - k[:, :, None, :, :]) ** 2, -1)
+        sim = -dist * 8 ** -0.5
+        expected = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim, -1), k)
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+    def test_key_padding_mask(self):
+        keys = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = rand(keys[0], 2, 2, 4, 8)
+        k = rand(keys[1], 2, 2, 6, 8)
+        v = rand(keys[2], 2, 2, 6, 8)
+        mask = jnp.array([[True] * 6, [True, True, True, False, False, False]])
+        out = ops.attend(q, k, v, mask=mask)
+        # row 1 must be identical to attending over only the first 3 keys
+        out_trunc = ops.attend(q[1:], k[1:, :, :3], v[1:, :, :3])
+        np.testing.assert_allclose(out[1:], out_trunc, rtol=1e-5, atol=1e-5)
+
+    def test_linear_attention_shape_and_finite(self):
+        keys = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = rand(keys[0], 2, 4, 64, 32)
+        k = rand(keys[1], 2, 4, 64, 32)
+        v = rand(keys[2], 2, 4, 64, 32)
+        out = ops.linear_attend(q, k, v)
+        assert out.shape == (2, 4, 64, 32)
+        assert jnp.all(jnp.isfinite(out))
+
+
+class TestResample:
+    def test_blur_preserves_constant(self):
+        x = jnp.ones((1, 8, 8, 3))
+        np.testing.assert_allclose(ops.blur_2d(x), x, rtol=1e-6)
+
+    def test_blur_kernel_values(self):
+        # delta input → kernel appears (away from borders)
+        x = jnp.zeros((1, 9, 9, 1)).at[0, 4, 4, 0].set(16.0)
+        out = ops.blur_2d(x)
+        np.testing.assert_allclose(out[0, 3:6, 3:6, 0],
+                                   jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+                                             jnp.float32), rtol=1e-5)
+
+    def test_pixel_shuffle_roundtrip(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 12))
+        up = ops.pixel_shuffle(x, 2)
+        assert up.shape == (2, 8, 8, 3)
+        # position (2i+r1, 2j+r2) channel c == input channel c*4 + r1*2 + r2
+        np.testing.assert_allclose(up[:, 1::2, 0::2, 2], x[..., 2 * 4 + 2])
+
+    def test_space_to_depth_ordering(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 3))
+        out = ops.space_to_depth(x)
+        assert out.shape == (1, 2, 2, 12)
+        # channel-major: out channel c*4 + s1*2 + s2
+        np.testing.assert_allclose(out[0, 0, 0, 1 * 4 + 2], x[0, 1, 0, 1])
+
+    def test_upsample_2x(self):
+        x = jnp.ones((1, 4, 4, 2))
+        out = ops.upsample_2x(x)
+        assert out.shape == (1, 8, 8, 2)
+        np.testing.assert_allclose(out, 1.0, rtol=1e-6)
+
+    def test_hf_shuttle(self):
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4))
+        down, hf = ops.downsample_hf_shuttle(x, is_video=False,
+                                             skip_downsample=False)
+        assert down.shape == (2, 4, 4, 4)
+        assert hf.shape == (2, 8, 8, 4)
+        np.testing.assert_allclose(hf, x - ops.blur_2d(x), rtol=1e-5, atol=1e-6)
+
+        same, empty = ops.downsample_hf_shuttle(x, is_video=False,
+                                                skip_downsample=True)
+        assert same.shape == x.shape and empty.shape[-1] == 0
+
+    def test_resize_image_to(self):
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+        out = ops.resize_image_to(x, 8)
+        assert out.shape == (2, 8, 8, 3)
