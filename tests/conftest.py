@@ -1,14 +1,32 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding
 paths (mesh, shard_map, psum/all_gather collectives) are exercised without
-TPU hardware."""
+TPU hardware.
+
+The axon TPU plugin (/root/.axon_site on PYTHONPATH) hooks compilation and
+adds ~3x wall-clock latency even for pure-CPU runs — strip it before jax
+imports.  Real-chip verification happens outside pytest (see
+.claude/skills/verify/SKILL.md).
+"""
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers its TPU backend at interpreter
+# start and overrides JAX_PLATFORMS; every eager op then pays a ~0.8s remote
+# round-trip.  jax.config wins over the plugin — pin CPU here.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.device_count() == 8, (
+    "tests expect 8 virtual CPU devices; got "
+    f"{jax.device_count()} ({jax.devices()})"
+)
