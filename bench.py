@@ -1,0 +1,94 @@
+"""Headline benchmark: the reference README quickstart — unconditional 256px
+GigaGAN G+D alternating train step (README.md:39-92: G dim_capacity=8
+dim_max=512 style 64x4 skip-excite 4; D dim_capacity=16 dim_max=512
+skip-excite 4; amp) — measured as images/sec/chip on the local device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md).  The
+denominator below is an ESTIMATE of the reference's A100 fp16 throughput for
+this exact quickstart step (batch 8 effective), derived from step FLOPs vs
+A100 fp16 peak at typical PyTorch utilization; replace with a measured
+number when one exists.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gigagan_tpu.data import MockImageDataset
+from gigagan_tpu.train import GigaGAN
+from gigagan_tpu.utils import cycle
+
+A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE = 30.0
+
+BATCH = 8
+STEPS_TIMED = 8
+
+
+def main():
+    gan = GigaGAN(
+        generator=dict(
+            dim_capacity=8,
+            style_network=dict(dim=64, depth=4),
+            image_size=256,
+            dim_max=512,
+            num_skip_layers_excite=4,
+            unconditional=True,
+        ),
+        discriminator=dict(
+            dim_capacity=16,
+            dim_max=512,
+            image_size=256,
+            num_skip_layers_excite=4,
+            unconditional=True,
+        ),
+        amp=True,
+        model_folder="/tmp/gigagan-bench/models",
+        results_folder="/tmp/gigagan-bench/results",
+        log_steps_every=10 ** 9,
+        save_and_sample_every=10 ** 9,
+        early_save_thres_steps=0,
+        seed=0,
+    )
+
+    ds = MockImageDataset(256, length=max(4 * BATCH, 64), seed=0)
+    dl = cycle(ds.get_dataloader(BATCH))
+
+    def one_iter(apply_gp):
+        batch = gan._collect_batch(dl, 1)
+        gan.train_discriminator_step(
+            batch, grad_accum_every=1,
+            apply_gradient_penalty=apply_gp, calc_multiscale_loss=True,
+        )
+        gan.train_generator_step(
+            batch, grad_accum_every=1, calc_multiscale_loss=True,
+        )
+
+    # warmup/compile both GP variants
+    one_iter(False)
+    one_iter(True)
+    jax.block_until_ready(gan.state.g_params)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS_TIMED):
+        # reference cadence: gradient penalty every 4th step
+        one_iter(apply_gp=(i % 4 == 0))
+    jax.block_until_ready(gan.state.g_params)
+    elapsed = time.perf_counter() - t0
+
+    images_per_sec = BATCH * STEPS_TIMED / elapsed
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_256px_gd_train_step",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(
+            images_per_sec / A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE, 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,9 +4,67 @@ Re-implements the full capability surface of lucidrains/gigagan-pytorch
 (arXiv 2303.05511) with a TPU-first architecture: channels-last feature maps,
 MXU-friendly adaptive convolutions, jitted alternating train steps with
 `lax.scan` gradient accumulation, R1 via grad-of-grad, bf16 compute, and
-`shard_map` data parallelism over a device mesh.
+data parallelism over a `jax.sharding.Mesh`.
 """
 
 __version__ = "0.1.0"
 
-from gigagan_tpu import ops, utils  # noqa: F401
+from gigagan_tpu import losses, ops, parallel, utils  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy heavyweight imports so `import gigagan_tpu` stays cheap
+    if name in ("Generator", "Discriminator", "StyleNetwork", "TextEncoder",
+                "BaseGenerator", "Predictor", "SimpleDecoder"):
+        from gigagan_tpu import models
+
+        return getattr(models, name)
+    if name == "UnetUpsampler":
+        from gigagan_tpu.models.unet_upsampler import UnetUpsampler
+
+        return UnetUpsampler
+    if name == "VisionAidedDiscriminator":
+        from gigagan_tpu.models.vision_aided import VisionAidedDiscriminator
+
+        return VisionAidedDiscriminator
+    if name == "GigaGAN":
+        from gigagan_tpu.train import GigaGAN
+
+        return GigaGAN
+    if name == "AdaptiveConv2DMod":
+        # reference-API alias for the rank-generic AdaptiveConv module
+        from gigagan_tpu.models.layers import AdaptiveConv
+
+        return AdaptiveConv
+    if name in ("ImageDataset", "TextImageDataset", "MockTextImageDataset"):
+        from gigagan_tpu import data
+
+        return getattr(data, name)
+    if name == "models":
+        from gigagan_tpu import models
+
+        return models
+    if name in ("data", "train"):
+        import importlib
+
+        return importlib.import_module(f"gigagan_tpu.{name}")
+    raise AttributeError(f"module 'gigagan_tpu' has no attribute {name!r}")
+
+
+__all__ = [
+    "GigaGAN",
+    "Generator",
+    "Discriminator",
+    "VisionAidedDiscriminator",
+    "AdaptiveConv2DMod",
+    "StyleNetwork",
+    "TextEncoder",
+    "UnetUpsampler",
+    "ImageDataset",
+    "TextImageDataset",
+    "MockTextImageDataset",
+    "losses",
+    "ops",
+    "parallel",
+    "utils",
+]

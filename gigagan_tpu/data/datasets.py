@@ -1,0 +1,246 @@
+"""Host-side data pipeline feeding numpy NHWC batches to the jitted steps.
+
+Parity targets (gigagan_pytorch/data.py):
+- ImageDataset (:48-89): recursive glob by extension, ≥100-image assert,
+  Resize(short side) → optional horizontal flip → CenterCrop → [0,1] float
+- TextImageDataset (:91-97): abstract, str-aware collation
+- MockTextImageDataset (:99-113): random tensors + 'mock text'
+- collate_tensors_or_str (:28-44)
+
+TPU design: decode/resize runs on host CPU threads while the previous step
+executes on device; the loader is a plain prefetching iterator (the trainer
+overlaps it with device compute by dispatching the step before blocking).
+Images are channels-last float32 in [0, 1].
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+from pathlib import Path
+from queue import Queue
+from typing import Optional, Sequence
+
+import numpy as np
+
+from gigagan_tpu.utils import exists
+
+try:  # PIL ships with the baked torchvision
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def collate_tensors_or_str(data):
+    """Stack arrays; collect strings into List[str]
+    (reference: data.py:28-44)."""
+    is_one_data = not isinstance(data[0], tuple)
+    if is_one_data:
+        return (np.stack(data),)
+
+    outputs = []
+    for datum in zip(*data):
+        if isinstance(datum[0], str):
+            outputs.append(list(datum))
+        else:
+            outputs.append(np.stack(datum))
+    return tuple(outputs)
+
+
+class DataLoader:
+    """Minimal epoch-shuffling, drop-last, background-prefetching loader."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        collate_fn=None,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or collate_tensors_or_str
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            yield self.collate_fn([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+
+        q: Queue = Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for item in self._batches():
+                    q.put(item)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+
+
+def _load_image(path, image_size: int, hflip: bool, convert_to: Optional[str],
+                rng: random.Random):
+    img = Image.open(path)
+    if exists(convert_to) and img.mode != convert_to:
+        img = img.convert(convert_to)
+    elif img.mode != "RGB":
+        img = img.convert("RGB")
+
+    # Resize short side to image_size (torchvision T.Resize semantics)
+    w, h = img.size
+    short = min(w, h)
+    scale = image_size / short
+    img = img.resize(
+        (max(round(w * scale), image_size), max(round(h * scale), image_size)),
+        Image.BILINEAR,
+    )
+    if hflip and rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+
+    # center crop
+    w, h = img.size
+    left = (w - image_size) // 2
+    top = (h - image_size) // 2
+    img = img.crop((left, top, left + image_size, top + image_size))
+
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+class ImageDataset:
+    def __init__(
+        self,
+        folder,
+        image_size: int,
+        exts: Sequence[str] = ("jpg", "jpeg", "png", "tiff"),
+        augment_horizontal_flip: bool = False,
+        convert_image_to: Optional[str] = None,
+        seed: int = 0,
+    ):
+        assert Image is not None, "PIL is required for ImageDataset"
+        self.folder = folder
+        self.image_size = image_size
+        self.paths = [
+            p for ext in exts for p in Path(folder).glob(f"**/*.{ext}")
+        ]
+        assert len(self.paths) > 0, "your folder contains no images"
+        assert len(self.paths) > 100, (
+            "you need at least 100 images, 10k for research paper, "
+            "millions for miraculous results (try Laion-5B)"
+        )
+        self.augment_horizontal_flip = augment_horizontal_flip
+        self.convert_image_to = convert_image_to
+        self._rng = random.Random(seed)
+
+    def get_dataloader(self, batch_size, **kwargs):
+        kwargs.setdefault("shuffle", True)
+        kwargs.setdefault("drop_last", True)
+        return DataLoader(self, batch_size, **kwargs)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index):
+        return _load_image(
+            self.paths[index], self.image_size,
+            self.augment_horizontal_flip, self.convert_image_to, self._rng,
+        )
+
+
+class TextImageDataset:
+    """Abstract text-image dataset: subclasses return (image_hwc, text)."""
+
+    def __init__(self):
+        raise NotImplementedError
+
+    def get_dataloader(self, batch_size, **kwargs):
+        return DataLoader(
+            self, batch_size, collate_fn=collate_tensors_or_str, **kwargs
+        )
+
+    def __len__(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __getitem__(self, index):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class MockImageDataset:
+    """Unconditional counterpart of MockTextImageDataset — random image
+    tensors only, for exercising the quickstart path without data."""
+
+    def __init__(self, image_size: int, length: int = int(1e5),
+                 channels: int = 3, seed: int = 0):
+        self.image_size = image_size
+        self.channels = channels
+        self.length = length
+        self._rng = np.random.default_rng(seed)
+
+    def get_dataloader(self, batch_size, **kwargs):
+        kwargs.setdefault("shuffle", True)
+        kwargs.setdefault("drop_last", True)
+        return DataLoader(self, batch_size, **kwargs)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        return self._rng.random(
+            (self.image_size, self.image_size, self.channels)
+        ).astype(np.float32)
+
+
+class MockTextImageDataset(TextImageDataset):
+    def __init__(self, image_size: int, length: int = int(1e5),
+                 channels: int = 3, seed: int = 0):
+        self.image_size = image_size
+        self.channels = channels
+        self.length = length
+        self._rng = np.random.default_rng(seed)
+
+    def get_dataloader(self, batch_size, **kwargs):
+        return DataLoader(
+            self, batch_size, collate_fn=collate_tensors_or_str, **kwargs
+        )
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        img = self._rng.standard_normal(
+            (self.image_size, self.image_size, self.channels)
+        ).astype(np.float32)
+        return img, "mock text"

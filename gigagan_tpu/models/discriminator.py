@@ -376,6 +376,19 @@ class Discriminator(nn.Module):
         multiscale_outputs = []
         aux_recon_losses = []
 
+        # Scale-group bookkeeping.  The reference expands the batch dim
+        # scale-MAJOR ('(s b)', :1789); we use batch-MAJOR row order
+        # (sample i's groups are rows i*s .. i*s+s-1): under a data-sharded
+        # mesh every group reshape then stays device-local, where scale-major
+        # concat would force an all-to-all per multiscale stage.
+        num_groups = 1
+
+        def rows_of_first_groups(t, keep_groups):
+            # rows of the first `keep_groups` scale groups of each sample
+            t5 = t.reshape(batch, num_groups, *t.shape[1:])
+            sub = t5[:, :keep_groups]
+            return sub.reshape(batch * keep_groups, *t.shape[1:])
+
         # +1: the first stage's pixel-space input is never excited
         excitations = [None] * (self.num_skip_layers_excite + 1)
 
@@ -383,21 +396,33 @@ class Discriminator(nn.Module):
             resolution = stage["resolution"]
 
             if exists(stage["squeeze_excite"]):
-                excitations.append(stage["squeeze_excite"](x))
+                excitations.append(
+                    (stage["squeeze_excite"](x), num_groups)
+                )
 
-            excite = excitations.pop(0) if excitations else None
-            if exists(excite):
-                x = x * expand_batch(excite, x.shape[0])
+            excite_entry = excitations.pop(0) if excitations else None
+            if exists(excite_entry):
+                excite, excite_groups = excite_entry
+                ratio = num_groups // excite_groups
+                e5 = excite.reshape(batch, excite_groups, *excite.shape[1:])
+                e5 = jnp.tile(e5, (1, ratio) + (1,) * (excite.ndim - 1))
+                x = x * e5.reshape(batch * num_groups, *excite.shape[1:])
 
-            batch_prev_stage = x.shape[0]
+            groups_prev_stage = num_groups
 
             if stage["has_multiscale_input"]:
                 rgb = rgbs_index[resolution]
                 feats = stage["from_rgb"](rgb)
-                feats = expand_batch(feats, x.shape[0])
+                feats = expand_batch(feats, x.shape[0])  # batch-major repeat
                 x = x + feats
-                # scale invariance: deeper weights reused as extra scales
-                x = jnp.concatenate((x, feats), axis=0)
+                # scale invariance: deeper weights reused as extra scales;
+                # interleave per sample: (b, s, ...) ++ (b, s, ...) on axis 1
+                x5 = x.reshape(batch, num_groups, *x.shape[1:])
+                f5 = feats.reshape(batch, num_groups, *x.shape[1:])
+                x = jnp.concatenate((x5, f5), axis=1).reshape(
+                    batch * 2 * num_groups, *x.shape[1:]
+                )
+                num_groups *= 2
 
             residual = stage["residual_conv"](x)
             x = stage["conv_block1"](x)
@@ -415,7 +440,8 @@ class Discriminator(nn.Module):
                 if return_multiscale_outputs:
                     multiscale_outputs.append(
                         stage["predictor"](
-                            x[:batch_prev_stage], mod=mod,
+                            rows_of_first_groups(x, groups_prev_stage),
+                            mod=mod,
                             kernel_mod=kernel_mod,
                         )
                     )
@@ -429,7 +455,8 @@ class Discriminator(nn.Module):
                 # scale-group 0 rows = the original (unexpanded) batch
                 aux_recon_losses.append(
                     stage["recon_decoder"](
-                        x[:batch], images, deterministic=deterministic
+                        rows_of_first_groups(x, 1), images,
+                        deterministic=deterministic,
                     )
                 )
 
@@ -439,6 +466,7 @@ class Discriminator(nn.Module):
         logits = self.to_logits_conv(x)
         logits = logits.reshape(logits.shape[0], -1)
         logits = self.to_logits_dense(logits)[..., 0]
-        logits = rearrange(logits, "(s b) -> s b", b=batch)
+        # (b·s,) batch-major → (s, b) to keep the reference's output shape
+        logits = rearrange(logits, "(b s) -> s b", b=batch)
 
         return logits, multiscale_outputs, aux_recon_losses

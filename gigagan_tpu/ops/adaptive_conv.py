@@ -49,18 +49,22 @@ def get_same_padding(kernel: int, dilation: int = 1) -> int:
 
 
 def expand_batch(t, batch: int):
-    """Tile leading dim to match an expanded batch.
+    """Repeat each row to match an expanded batch (batch-MAJOR group order).
 
-    The multiscale discriminator grows the batch dim by concatenating scale
-    groups (reference: gigagan_pytorch.py:365-374 handles this inside the
-    conv).  Tiling with the scale group as the OUTER dim matches the
-    reference's ``repeat('b ... -> (s b) ...')``.
+    The multiscale discriminator grows the batch dim with scale groups
+    (reference: gigagan_pytorch.py:365-374 handles this inside the conv with
+    scale-major ``repeat('b -> (s b)')``).  We deliberately use batch-major
+    ordering — row ``i*s + g`` is sample ``i``, group ``g`` — because under a
+    data-sharded mesh every (b, s) <-> (b*s) reshape then keeps rows local to
+    their device: the reference's scale-major layout would force an
+    all-to-all at every multiscale stage.  Per-sample semantics (which is all
+    the conv modulation depends on) are identical.
     """
     if t.shape[0] == batch:
         return t
     s, rem = divmod(batch, t.shape[0])
     assert rem == 0, f"cannot expand batch {t.shape[0]} to {batch}"
-    return jnp.tile(t, (s,) + (1,) * (t.ndim - 1))
+    return jnp.repeat(t, s, axis=0)
 
 
 def kernel_gram(weights):

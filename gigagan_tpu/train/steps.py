@@ -1,0 +1,445 @@
+"""Jitted alternating GAN train steps with `lax.scan` gradient accumulation.
+
+Maps the reference's host-side training loops (gigagan_pytorch/gigagan_pytorch
+.py:2226-2610) onto two compiled steps:
+
+- `d_step`: per microbatch — sample fakes (no G grad), diff-augment, run D on
+  fake and real, hinge + multiscale hinge + R1 gradient penalty (via
+  `jax.vjp` reusing the SAME forward graph, exactly like torch's
+  create_graph double-backward at :2357-2372) + aux reconstruction +
+  matching-aware loss, all accumulated across microbatches by `lax.scan`.
+- `g_step`: per microbatch — sample fakes WITH grad, D forward, generator
+  hinge + multiscale + (vision-aided / contrastive hooks), scan-accumulated;
+  optimizer update; branchless EMA update folded in.
+
+Static variants: (apply_gradient_penalty, calc_multiscale_loss) are trace
+constants — the trainer caches the ≤4 compiled step variants instead of
+branching on device (a `lax.cond` over the double-backward would force both
+branches to compile and pessimize memory).
+
+Reference defects fixed here (SURVEY.md §2.3):
+- #2 matching-aware loss: texts are rolled per microbatch and the loss is
+  accumulated across ALL microbatches (the reference groups only the last
+  microbatch's texts and overwrites instead of accumulating, :2437,:2471).
+- #4 weight decay plumbed for real (see train/optimizer.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import lax
+
+from gigagan_tpu import losses as L
+from gigagan_tpu.train.ema import EMAState, ema_update
+from gigagan_tpu.utils import exists
+
+
+@struct.dataclass
+class GANState:
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    ema: Optional[EMAState]
+    steps: jnp.ndarray  # int32 scalar
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _tree_zeros_like(t):
+    return jax.tree.map(jnp.zeros_like, t)
+
+
+class TrainStepBuilder:
+    """Builds the jitted d/g step variants for a (G, D[, VD]) trio."""
+
+    def __init__(
+        self,
+        generator,
+        discriminator,
+        g_tx,
+        d_tx,
+        *,
+        vision_aided_discriminator=None,
+        clip=None,
+        train_upsampler: bool = False,
+        input_image_size: Optional[int] = None,
+        multiscale_divergence_loss_weight: float = 0.1,
+        discr_aux_recon_loss_weight: float = 1.0,
+        vision_aided_divergence_loss_weight: float = 0.5,
+        generator_contrastive_loss_weight: float = 0.1,
+        matching_awareness_loss_weight: float = 0.1,
+        diff_augment=None,
+        ema_kwargs: Optional[dict] = None,
+    ):
+        self.G = generator
+        self.D = discriminator
+        self.VD = vision_aided_discriminator
+        self.clip = clip
+        self.g_tx = g_tx
+        self.d_tx = d_tx
+        self.train_upsampler = train_upsampler
+        self.input_image_size = input_image_size
+        self.ms_w = multiscale_divergence_loss_weight
+        self.aux_w = discr_aux_recon_loss_weight
+        self.vd_w = vision_aided_divergence_loss_weight
+        self.contrastive_w = generator_contrastive_loss_weight
+        self.matching_w = matching_awareness_loss_weight
+        self.diff_augment = diff_augment
+        self.ema_kwargs = dict(ema_kwargs or {})
+        self._d_cache = {}
+        self._g_cache = {}
+
+    # ---------------------------------------------------------------- utils
+
+    @property
+    def unconditional(self):
+        return self.D.unconditional
+
+    @property
+    def need_vd(self):
+        return exists(self.VD) and self.vd_w > 0.0
+
+    @property
+    def need_contrastive(self):
+        return (
+            self.contrastive_w > 0.0
+            and not self.unconditional
+            and exists(self.clip)
+        )
+
+    def _generate(self, g_params, real_images, text_enc, key):
+        """Run G the way the trainer does (reference generate_kwargs,
+        :2187-2224): noise latents; lowres conditioning when training the
+        upsampler."""
+        k_latent, k_noise = jax.random.split(key)
+        kwargs = dict(return_all_rgbs=True)
+        if not self.unconditional:
+            kwargs["text_encodings"] = text_enc
+        if self.train_upsampler:
+            from gigagan_tpu import ops
+
+            size = self.input_image_size
+            kwargs["lowres_image"] = ops.resize_image_to(real_images, size)
+        else:
+            kwargs["batch_size"] = real_images.shape[0]
+        return self.G.apply(
+            {"params": g_params},
+            rngs={"latent": k_latent, "noise": k_noise},
+            **kwargs,
+        )
+
+    def _d_apply(self, d_params, images, rgbs, text_enc, key,
+                 return_ms, calc_aux):
+        kwargs = {}
+        if not self.unconditional:
+            kwargs["text_encodings"] = text_enc
+        return self.D.apply(
+            {"params": d_params},
+            images,
+            rgbs,
+            return_multiscale_outputs=return_ms,
+            calc_aux_loss=calc_aux,
+            rngs={"dropout": key},
+            **kwargs,
+        )
+
+    # --------------------------------------------------------------- d step
+
+    def _d_micro_loss(self, d_params, g_params, real_images, text_enc, key,
+                      *, apply_gp, calc_ms):
+        ks = jax.random.split(key, 8)
+        compute_dtype = self.D.dtype
+
+        # fakes, no G grad (reference: :2294-2316)
+        fake, fake_rgbs = self._generate(g_params, real_images, text_enc,
+                                         ks[0])
+        fake = lax.stop_gradient(fake)
+        fake_rgbs = [lax.stop_gradient(r) for r in fake_rgbs]
+
+        # diff augment (identically across image + rgbs)
+        if exists(self.diff_augment):
+            fake_aug, fake_rgbs_aug = self.diff_augment(ks[1], fake,
+                                                        fake_rgbs)
+        else:
+            fake_aug, fake_rgbs_aug = fake, fake_rgbs
+
+        def real_pipeline(imgs):
+            rgbs = self.D.real_images_to_rgbs(imgs)
+            if exists(self.diff_augment):
+                return self.diff_augment(ks[2], imgs, rgbs)
+            return imgs, rgbs
+
+        real_images = real_images.astype(compute_dtype)
+
+        # one vjp per branch: primal outputs + input-gradient closure reused
+        # for the penalty — the JAX equivalent of create_graph=True
+        def d_on_fake(imgs):
+            return self._d_apply(d_params, imgs, fake_rgbs_aug, text_enc,
+                                 ks[3], calc_ms, False)
+
+        def d_on_real(imgs):
+            aug, rgbs = real_pipeline(imgs)
+            return self._d_apply(d_params, aug, rgbs, text_enc, ks[4],
+                                 calc_ms, True)
+
+        (fake_logits, fake_ms, _), fake_vjp = jax.vjp(d_on_fake, fake_aug)
+        (real_logits, real_ms, aux_losses), real_vjp = jax.vjp(
+            d_on_real, real_images
+        )
+
+        divergence = L.discriminator_hinge_loss(real_logits, fake_logits)
+        total = divergence
+
+        ms_div = jnp.asarray(0.0)
+        if self.ms_w > 0.0 and calc_ms and len(fake_ms) > 0:
+            for mf, mr in zip(fake_ms, real_ms):
+                ms_div = ms_div + L.discriminator_hinge_loss(mr, mf)
+            total = total + ms_div * self.ms_w
+
+        gp_loss = jnp.asarray(0.0)
+        if apply_gp:
+
+            def penalty(vjp_fn, logits, ms_logits, aux):
+                cot_logits = jnp.ones_like(logits)
+                cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms_logits]
+                cot_aux = [jnp.zeros_like(a) for a in aux]
+                (grads,) = vjp_fn((cot_logits, cot_ms, cot_aux))
+                g = grads.reshape(grads.shape[0], -1).astype(jnp.float32)
+                norm = jnp.sqrt(jnp.sum(g * g, axis=1) + 1e-12)
+                return 10.0 * jnp.mean(norm ** 2)
+
+            gp_loss = penalty(real_vjp, real_logits, real_ms, aux_losses) + \
+                penalty(fake_vjp, fake_logits, fake_ms, [])
+            total = total + gp_loss
+
+        aux_loss = jnp.asarray(0.0)
+        if self.aux_w > 0.0 and len(aux_losses) > 0:
+            aux_loss = sum(aux_losses)
+            total = total + aux_loss * self.aux_w
+
+        # vision-aided discriminator (hinge on frozen-CLIP feature taps)
+        vd_div = jnp.asarray(0.0)
+        if self.need_vd:
+            vd_div, vd_gp = self._vd_divergence(
+                d_params, fake, real_images, text_enc, ks[5],
+                apply_gp=apply_gp,
+            )
+            total = total + vd_div * self.vd_w
+            gp_loss = gp_loss + vd_gp
+            total = total + vd_gp
+
+        # matching-aware loss: mismatched (image, text) pairs via roll
+        # (fixes reference defect §2.3 #2 — accumulated per microbatch)
+        matching = jnp.asarray(0.0)
+        if not self.unconditional and self.matching_w > 0.0:
+            rolled = jnp.roll(text_enc, shift=1, axis=0)
+            m_fake, *_ = self._d_apply(
+                d_params, fake, fake_rgbs, rolled, ks[6], False, False
+            )
+            real_rgbs_plain = self.D.real_images_to_rgbs(real_images)
+            m_real, *_ = self._d_apply(
+                d_params, real_images, real_rgbs_plain, rolled, ks[7],
+                False, False,
+            )
+            matching = L.aux_matching_loss(m_real, m_fake)
+            total = total + matching * self.matching_w
+
+        metrics = dict(
+            divergence=divergence,
+            multiscale_divergence=ms_div,
+            vision_aided_divergence=vd_div,
+            matching_aware_loss=matching,
+            gradient_penalty=gp_loss,
+            aux_reconstruction=aux_loss,
+        )
+        return total, metrics
+
+    def _vd_divergence(self, d_params, fake, real, text_enc, key,
+                       *, apply_gp):
+        # wired up once the CLIP tower lands; see models/vision_aided.py
+        raise NotImplementedError
+
+    def d_step_fn(self, *, grad_accum_every: int, apply_gp: bool,
+                  calc_ms: bool):
+        """Returns jitted d_step(state, batch, key) for this static config."""
+        cache_key = (grad_accum_every, apply_gp, calc_ms)
+        if cache_key in self._d_cache:
+            return self._d_cache[cache_key]
+
+        def step(state: GANState, batch, key):
+            # batch arrays are (grad_accum, microbatch, ...): the microbatch
+            # axis carries the data sharding; scan walks the accum axis
+            real = batch["real_images"]
+            text = batch.get("text_encodings")
+            accum = grad_accum_every
+            assert real.shape[0] == accum, (
+                f"batch leading dim {real.shape[0]} != grad_accum {accum}"
+            )
+            mb = real.shape[1]
+            text_stack = (
+                text if exists(text) else jnp.zeros((accum, mb, 0))
+            )
+            keys = jax.random.split(key, accum)
+
+            loss_fn = functools.partial(
+                self._d_micro_loss, apply_gp=apply_gp, calc_ms=calc_ms
+            )
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def body(carry, inp):
+                grads_acc, metrics_acc = carry
+                r, t, k = inp
+                t = t if not self.unconditional else None
+                (_, metrics), grads = grad_fn(
+                    state.d_params, state.g_params, r, t, k
+                )
+                metrics = jax.tree.map(
+                    lambda a, m: a + m / accum, metrics_acc, metrics
+                )
+                return (_tree_add(grads_acc, grads), metrics), None
+
+            zero_metrics = dict(
+                divergence=0.0, multiscale_divergence=0.0,
+                vision_aided_divergence=0.0, matching_aware_loss=0.0,
+                gradient_penalty=0.0, aux_reconstruction=0.0,
+            )
+            zero_metrics = jax.tree.map(jnp.asarray, zero_metrics)
+            (grads, metrics), _ = lax.scan(
+                body,
+                (_tree_zeros_like(state.d_params), zero_metrics),
+                (real, text_stack, keys),
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            updates, d_opt = self.d_tx.update(
+                grads, state.d_opt, state.d_params
+            )
+            d_params = optax.apply_updates(state.d_params, updates)
+            new_state = state.replace(d_params=d_params, d_opt=d_opt)
+            return new_state, metrics
+
+        jitted = jax.jit(step, donate_argnums=(0,))
+        self._d_cache[cache_key] = jitted
+        return jitted
+
+    # --------------------------------------------------------------- g step
+
+    def _g_micro_loss(self, g_params, d_params, real_images, text_enc, key,
+                      *, calc_ms):
+        ks = jax.random.split(key, 4)
+
+        fake, rgbs = self._generate(g_params, real_images, text_enc, ks[0])
+        if exists(self.diff_augment):
+            fake_aug, rgbs_aug = self.diff_augment(ks[1], fake, rgbs)
+        else:
+            fake_aug, rgbs_aug = fake, rgbs
+
+        logits, ms_logits, _ = self._d_apply(
+            d_params, fake_aug, rgbs_aug, text_enc, ks[2], calc_ms, False
+        )
+
+        divergence = L.generator_hinge_loss(logits)
+        total = divergence
+
+        ms_div = jnp.asarray(0.0)
+        if self.ms_w > 0.0 and calc_ms and len(ms_logits) > 0:
+            for m in ms_logits:
+                ms_div = ms_div + L.generator_hinge_loss(m)
+            total = total + ms_div * self.ms_w
+
+        vd_div = jnp.asarray(0.0)
+        if self.need_vd:
+            vd_div = self._vd_generator_loss(fake_aug, text_enc, ks[3])
+            total = total + vd_div * self.vd_w
+
+        contrastive = jnp.asarray(0.0)
+        if self.need_contrastive:
+            contrastive = self._contrastive_loss(fake, text_enc)
+            total = total + contrastive * self.contrastive_w
+
+        metrics = dict(
+            divergence=divergence,
+            multiscale_divergence=ms_div,
+            total_vd_divergence=vd_div,
+            contrastive_loss=contrastive,
+        )
+        return total, metrics
+
+    def _vd_generator_loss(self, fake, text_enc, key):
+        raise NotImplementedError
+
+    def _contrastive_loss(self, fake, text_enc):
+        raise NotImplementedError
+
+    def g_step_fn(self, *, grad_accum_every: int, calc_ms: bool):
+        cache_key = (grad_accum_every, calc_ms)
+        if cache_key in self._g_cache:
+            return self._g_cache[cache_key]
+
+        def step(state: GANState, batch, key):
+            # batch arrays are (grad_accum, microbatch, ...): the microbatch
+            # axis carries the data sharding; scan walks the accum axis
+            real = batch["real_images"]
+            text = batch.get("text_encodings")
+            accum = grad_accum_every
+            assert real.shape[0] == accum, (
+                f"batch leading dim {real.shape[0]} != grad_accum {accum}"
+            )
+            mb = real.shape[1]
+            text_stack = (
+                text if exists(text) else jnp.zeros((accum, mb, 0))
+            )
+            keys = jax.random.split(key, accum)
+
+            loss_fn = functools.partial(self._g_micro_loss, calc_ms=calc_ms)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def body(carry, inp):
+                grads_acc, metrics_acc = carry
+                r, t, k = inp
+                t = t if not self.unconditional else None
+                (_, metrics), grads = grad_fn(
+                    state.g_params, state.d_params, r, t, k
+                )
+                metrics = jax.tree.map(
+                    lambda a, m: a + m / accum, metrics_acc, metrics
+                )
+                return (_tree_add(grads_acc, grads), metrics), None
+
+            zero_metrics = dict(
+                divergence=0.0, multiscale_divergence=0.0,
+                total_vd_divergence=0.0, contrastive_loss=0.0,
+            )
+            zero_metrics = jax.tree.map(jnp.asarray, zero_metrics)
+            (grads, metrics), _ = lax.scan(
+                body,
+                (_tree_zeros_like(state.g_params), zero_metrics),
+                (real, text_stack, keys),
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            updates, g_opt = self.g_tx.update(
+                grads, state.g_opt, state.g_params
+            )
+            g_params = optax.apply_updates(state.g_params, updates)
+
+            ema = state.ema
+            if exists(ema):
+                ema = ema_update(ema, g_params, **self.ema_kwargs)
+
+            new_state = state.replace(
+                g_params=g_params, g_opt=g_opt, ema=ema,
+                steps=state.steps + 1,
+            )
+            return new_state, metrics
+
+        jitted = jax.jit(step, donate_argnums=(0,))
+        self._g_cache[cache_key] = jitted
+        return jitted

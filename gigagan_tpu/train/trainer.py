@@ -1,0 +1,609 @@
+"""GigaGAN trainer: owns models, optimizers, EMA, checkpointing, sampling,
+and the alternating train loop.
+
+Parity target: the `GigaGAN` orchestrator (reference:
+gigagan_pytorch/gigagan_pytorch.py:1858-2748).  API preserved:
+dict-promotion kwargs, `.set_dataloader(dl)`, calling the trainer with
+`steps=`/`grad_accum_every=` runs the loop (reference forward :2664),
+`.generate()`, `.save()/.load()`, `.save_sample()`, `.create_ema_generator()`,
+the 10-loss log line (:2724-2741), and the save/sample cadence with the
+denser early schedule (:2745-2746).
+
+TPU-native differences:
+- Accelerate/DDP → a 1-D `data` mesh; batch sharded, params replicated, XLA
+  inserts the grad all-reduce (parallel/mesh.py).
+- autocast fp16 + GradScaler → bf16 compute dtype (`amp=True`), no scaler.
+- the train loops compile to ≤4 step variants keyed by the (gradient
+  penalty, multiscale loss) cadence flags (train/steps.py).
+- raw `texts: List[str]` are embedded host-side by the JAX CLIP adapter
+  before entering the jitted graph.
+- checkpoints are single-file msgpack of the full train state (+ EMA +
+  step counter + rng), version-stamped, like the reference's single
+  torch.save dict (:2033-2064).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Mapping
+from functools import partial
+from math import sqrt
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+import gigagan_tpu
+from gigagan_tpu import parallel
+from gigagan_tpu.data import DataLoader
+from gigagan_tpu.losses import DiffAugment
+from gigagan_tpu.models import Discriminator, Generator
+from gigagan_tpu.models.generator import BaseGenerator
+from gigagan_tpu.train.ema import EMAState
+from gigagan_tpu.train.optimizer import get_optimizer
+from gigagan_tpu.train.steps import GANState, TrainStepBuilder
+from gigagan_tpu.utils import cycle, default, divisible_by, exists
+
+
+def _promote(value, klass, **extra):
+    if isinstance(value, Mapping):
+        cfg = dict(value)
+        cfg.update(extra)
+        return klass(**cfg)
+    return value
+
+
+class GigaGAN:
+    def __init__(
+        self,
+        *,
+        generator,
+        discriminator,
+        vision_aided_discriminator=None,
+        diff_augment=None,
+        learning_rate: float = 2e-4,
+        betas=(0.5, 0.9),
+        weight_decay: float = 0.0,
+        discr_aux_recon_loss_weight: float = 1.0,
+        multiscale_divergence_loss_weight: float = 0.1,
+        vision_aided_divergence_loss_weight: float = 0.5,
+        generator_contrastive_loss_weight: float = 0.1,
+        matching_awareness_loss_weight: float = 0.1,
+        calc_multiscale_loss_every: int = 1,
+        apply_gradient_penalty_every: int = 4,
+        resize_image_mode: str = "bilinear",
+        train_upsampler: bool = False,
+        log_steps_every: int = 20,
+        create_ema_generator_at_init: bool = True,
+        save_and_sample_every: int = 1000,
+        early_save_thres_steps: int = 2500,
+        early_save_and_sample_every: int = 100,
+        num_samples: int = 25,
+        model_folder: str = "./gigagan-models",
+        results_folder: str = "./gigagan-results",
+        sample_upsampler_dl: Optional[DataLoader] = None,
+        amp: bool = False,
+        mixed_precision_type: str = "bf16",
+        clip=None,
+        seed: int = 42,
+        mesh=None,
+    ):
+        self.train_upsampler = train_upsampler
+        compute_dtype = jnp.bfloat16 if amp else jnp.float32
+        assert mixed_precision_type in ("bf16", "bfloat16"), (
+            "TPU mixed precision is bf16; fp16 GradScaler machinery does "
+            "not exist here"
+        )
+
+        if train_upsampler:
+            from gigagan_tpu.models.unet_upsampler import UnetUpsampler
+
+            generator_klass = UnetUpsampler
+        else:
+            generator_klass = Generator
+
+        self.G = _promote(generator, generator_klass, dtype=compute_dtype)
+        self.D = _promote(discriminator, Discriminator, dtype=compute_dtype)
+        self.VD = vision_aided_discriminator
+        if isinstance(self.VD, Mapping):
+            from gigagan_tpu.models.vision_aided import (
+                VisionAidedDiscriminator,
+            )
+
+            self.VD = VisionAidedDiscriminator(
+                **dict(self.VD), dtype=compute_dtype
+            )
+
+        assert isinstance(self.G, generator_klass if not isinstance(
+            self.G, BaseGenerator) else BaseGenerator)
+        assert self.G.unconditional == self.D.unconditional
+        assert not exists(self.VD) or (
+            self.VD.unconditional == self.G.unconditional
+        )
+        self.unconditional = self.G.unconditional
+
+        if train_upsampler:
+            allowed = set(self.G.allowable_rgb_resolutions)
+            requested = set(self.D.resolved_multiscale_input_resolutions)
+            assert not (requested - allowed), (
+                f"only multiscale input resolutions of {sorted(allowed)} "
+                "are allowed based on the unet input and output image size"
+            )
+
+        diff_augment = _promote(diff_augment, DiffAugment)
+        self.diff_augment = diff_augment
+
+        self.clip = clip
+
+        # loss weights / cadences
+        self.apply_gradient_penalty_every = apply_gradient_penalty_every
+        self.calc_multiscale_loss_every = calc_multiscale_loss_every
+        self.discr_aux_recon_loss_weight = discr_aux_recon_loss_weight
+        self.multiscale_divergence_loss_weight = (
+            multiscale_divergence_loss_weight
+        )
+        self.vision_aided_divergence_loss_weight = (
+            vision_aided_divergence_loss_weight
+        )
+        self.generator_contrastive_loss_weight = (
+            generator_contrastive_loss_weight
+        )
+        self.matching_awareness_loss_weight = matching_awareness_loss_weight
+        self.resize_image_mode = resize_image_mode
+        self.log_steps_every = log_steps_every
+
+        # optimizers (honoring weight_decay — reference defect §2.3 #4 fixed)
+        self.g_tx = get_optimizer(lr=learning_rate, wd=weight_decay,
+                                  betas=betas)
+        self.d_tx = get_optimizer(lr=learning_rate, wd=weight_decay,
+                                  betas=betas)
+
+        # mesh + state init
+        self.mesh = default(mesh, parallel.make_data_mesh())
+        self._rng = jax.random.PRNGKey(seed)
+        self._init_state(create_ema_generator_at_init)
+
+        # step builder
+        self.builder = TrainStepBuilder(
+            self.G,
+            self.D,
+            self.g_tx,
+            self.d_tx,
+            vision_aided_discriminator=self.VD,
+            clip=clip,
+            train_upsampler=train_upsampler,
+            input_image_size=(
+                self.G.input_image_size if train_upsampler else None
+            ),
+            multiscale_divergence_loss_weight=(
+                multiscale_divergence_loss_weight
+            ),
+            discr_aux_recon_loss_weight=discr_aux_recon_loss_weight,
+            vision_aided_divergence_loss_weight=(
+                vision_aided_divergence_loss_weight
+            ),
+            generator_contrastive_loss_weight=(
+                generator_contrastive_loss_weight
+            ),
+            matching_awareness_loss_weight=matching_awareness_loss_weight,
+            diff_augment=diff_augment,
+        )
+
+        # sampling / checkpointing
+        self.save_and_sample_every = save_and_sample_every
+        self.early_save_thres_steps = early_save_thres_steps
+        self.early_save_and_sample_every = early_save_and_sample_every
+        self.num_samples = num_samples
+
+        self.train_dl = None
+        self.sample_upsampler_dl_iter = (
+            cycle(sample_upsampler_dl) if exists(sample_upsampler_dl)
+            else None
+        )
+
+        self.results_folder = Path(results_folder)
+        self.model_folder = Path(model_folder)
+        self.results_folder.mkdir(exist_ok=True, parents=True)
+        self.model_folder.mkdir(exist_ok=True, parents=True)
+
+        self.print(
+            f"Generator: {self._count(self.state.g_params) / 1e6:.2f}M params"
+        )
+        self.print(
+            f"Discriminator: {self._count(self.state.d_params) / 1e6:.2f}M "
+            "params"
+        )
+
+    # ------------------------------------------------------------- plumbing
+
+    @staticmethod
+    def _count(tree):
+        return sum(x.size for x in jax.tree.leaves(tree))
+
+    def print(self, msg):
+        if self.is_main:
+            print(msg)
+
+    @property
+    def is_main(self):
+        return jax.process_index() == 0
+
+    @property
+    def is_distributed(self):
+        return jax.device_count() > 1
+
+    @property
+    def steps(self) -> int:
+        return int(self.state.steps)
+
+    @property
+    def has_ema_generator(self):
+        return exists(self.state.ema)
+
+    def _next_key(self):
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    def _g_init_kwargs(self, batch_size=1):
+        kwargs = dict()
+        if self.train_upsampler:
+            size = self.G.input_image_size
+            kwargs["lowres_image"] = jnp.zeros(
+                (batch_size, size, size, self.G.channels), self.G.dtype
+            )
+        else:
+            kwargs["batch_size"] = batch_size
+        if not self.unconditional:
+            kwargs["text_encodings"] = jnp.zeros(
+                (batch_size, 77, self._clip_dim()), self.G.dtype
+            )
+        return kwargs
+
+    def _clip_dim(self):
+        te = self.G.text_encoder
+        if isinstance(te, Mapping):
+            return dict(te).get("clip_dim", 512)
+        return getattr(te, "clip_dim", 512)
+
+    def _init_state(self, create_ema: bool):
+        k_params, k_noise, k_latent, k_drop = jax.random.split(
+            self._next_key(), 4
+        )
+
+        def init_g(k1, k2, k3):
+            return self.G.init(
+                {"params": k1, "noise": k2, "latent": k3},
+                **self._g_init_kwargs(),
+            )["params"]
+
+        g_params = jax.jit(init_g)(k_params, k_noise, k_latent)
+
+        image_size = self.D.image_size
+        images = jnp.zeros((1, image_size, image_size, self.D.channels),
+                           self.D.dtype)
+        rgbs = self.D.real_images_to_rgbs(images)
+        d_kwargs = {}
+        if not self.unconditional:
+            d_kwargs["text_encodings"] = jnp.zeros(
+                (1, 77, self._clip_dim()), self.D.dtype
+            )
+
+        def init_d(k1, k2):
+            return self.D.init(
+                {"params": k1, "dropout": k2}, images, rgbs, **d_kwargs
+            )["params"]
+
+        d_params = jax.jit(init_d)(k_params, k_drop)
+
+        state = GANState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init(d_params),
+            ema=EMAState.create(g_params) if create_ema else None,
+            steps=jnp.asarray(1, jnp.int32),
+        )
+        self.state = parallel.replicate(state, self.mesh)
+
+    def create_ema_generator(self, update_every=10, update_after_step=100,
+                             decay=0.995):
+        assert not self.has_ema_generator, "EMA generator already created"
+        self.builder.ema_kwargs = dict(
+            update_every=update_every,
+            update_after_step=update_after_step,
+            beta=decay,
+        )
+        ema = parallel.replicate(
+            EMAState.create(self.state.g_params), self.mesh
+        )
+        self.state = self.state.replace(ema=ema)
+
+    # ----------------------------------------------------------------- data
+
+    def set_dataloader(self, dl):
+        assert not exists(self.train_dl), (
+            "training dataloader has already been set"
+        )
+        self.train_dl = dl
+        self.train_dl_batch_size = dl.batch_size
+
+    def embed_texts(self, texts):
+        """Raw strings → CLIP token encodings (host-side, outside jit)."""
+        assert exists(self.clip), (
+            "a CLIP adapter must be attached (clip=...) to embed raw texts"
+        )
+        _, encodings = self.clip.embed_texts(texts)
+        return encodings
+
+    def _collect_batch(self, dl_iter, grad_accum_every):
+        """Pull grad_accum_every microbatches and stack them into one device
+        batch of shape (accum*mb, ...)."""
+        images, encodings = [], []
+        for _ in range(grad_accum_every):
+            result = next(dl_iter)
+            if self.unconditional:
+                (real,) = result if isinstance(result, tuple) else (result,)
+            else:
+                assert isinstance(result, tuple), (
+                    "dataset should return (images, texts) for text-"
+                    "conditioned training"
+                )
+                real, texts = result
+                if isinstance(texts, (list, tuple)) and len(texts) and (
+                    isinstance(texts[0], str)
+                ):
+                    encodings.append(np.asarray(self.embed_texts(texts)))
+                else:
+                    encodings.append(np.asarray(texts))
+            images.append(np.asarray(real))
+
+        # (grad_accum, microbatch, ...): shard the microbatch axis
+        batch = {"real_images": np.stack(images, axis=0)}
+        if encodings:
+            batch["text_encodings"] = np.stack(encodings, axis=0)
+        from jax.sharding import PartitionSpec as P
+
+        return parallel.shard_batch(batch, self.mesh, P(None, "data"))
+
+    # ------------------------------------------------------------ the loop
+
+    def train_discriminator_step(self, batch, *, grad_accum_every,
+                                 apply_gradient_penalty, calc_multiscale_loss):
+        step = self.builder.d_step_fn(
+            grad_accum_every=grad_accum_every,
+            apply_gp=apply_gradient_penalty,
+            calc_ms=calc_multiscale_loss,
+        )
+        self.state, metrics = step(self.state, batch, self._next_key())
+        return metrics
+
+    def train_generator_step(self, batch, *, grad_accum_every,
+                             calc_multiscale_loss):
+        step = self.builder.g_step_fn(
+            grad_accum_every=grad_accum_every,
+            calc_ms=calc_multiscale_loss,
+        )
+        self.state, metrics = step(self.state, batch, self._next_key())
+        return metrics
+
+    def __call__(self, *, steps: int, grad_accum_every: int = 1):
+        return self.forward(steps=steps, grad_accum_every=grad_accum_every)
+
+    def forward(self, *, steps: int, grad_accum_every: int = 1):
+        assert exists(self.train_dl), (
+            "you need to set the dataloader by running "
+            ".set_dataloader(dl)"
+        )
+        dl_iter = cycle(self.train_dl)
+
+        last = dict(gp=0.0, msd=0.0, msg=0.0)
+
+        for _ in range(steps):
+            step = self.steps
+            is_first = step == 1
+
+            apply_gp = self.apply_gradient_penalty_every > 0 and divisible_by(
+                step, self.apply_gradient_penalty_every
+            )
+            calc_ms = self.calc_multiscale_loss_every > 0 and divisible_by(
+                step, self.calc_multiscale_loss_every
+            )
+
+            d_batch = self._collect_batch(dl_iter, grad_accum_every)
+            d_metrics = self.train_discriminator_step(
+                d_batch,
+                grad_accum_every=grad_accum_every,
+                apply_gradient_penalty=apply_gp,
+                calc_multiscale_loss=calc_ms,
+            )
+
+            # G pulls fresh conditioning data when it needs any
+            if self.unconditional and not self.train_upsampler:
+                g_batch = d_batch
+            else:
+                g_batch = self._collect_batch(dl_iter, grad_accum_every)
+            g_metrics = self.train_generator_step(
+                g_batch,
+                grad_accum_every=grad_accum_every,
+                calc_multiscale_loss=calc_ms,
+            )
+
+            if is_first or divisible_by(step, self.log_steps_every):
+                d = jax.device_get(d_metrics)
+                g = jax.device_get(g_metrics)
+                if apply_gp:
+                    last["gp"] = float(d["gradient_penalty"])
+                if calc_ms:
+                    last["msd"] = float(d["multiscale_divergence"])
+                    last["msg"] = float(g["multiscale_divergence"])
+                pairs = (
+                    ("G", float(g["divergence"])),
+                    ("MSG", last["msg"]),
+                    ("VG", float(g["total_vd_divergence"])),
+                    ("D", float(d["divergence"])),
+                    ("MSD", last["msd"]),
+                    ("VD", float(d["vision_aided_divergence"])),
+                    ("GP", last["gp"]),
+                    ("SSL", float(d["aux_reconstruction"])),
+                    ("CL", float(g["contrastive_loss"])),
+                    ("MAL", float(d["matching_aware_loss"])),
+                )
+                self.print(
+                    f"step {step}: "
+                    + " | ".join(f"{k}: {v:.2f}" for k, v in pairs)
+                )
+
+            if self.is_main and (
+                is_first
+                or divisible_by(step, self.save_and_sample_every)
+                or (
+                    step <= self.early_save_thres_steps
+                    and divisible_by(step, self.early_save_and_sample_every)
+                )
+            ):
+                self.save_sample(self.train_dl_batch_size, dl_iter)
+
+        self.print(f"complete {self.steps} training steps")
+
+    # ------------------------------------------------------------ sampling
+
+    def _generate_params(self):
+        if self.has_ema_generator:
+            return self.state.ema.params
+        return self.state.g_params
+
+    def generate(self, *, batch_size: int = 4, styles=None, noise=None,
+                 texts=None, text_encodings=None, lowres_image=None,
+                 seed: Optional[int] = None, **kwargs):
+        """Sample from the (EMA) generator (reference: :2165-2169)."""
+        if exists(texts):
+            text_encodings = self.embed_texts(texts)
+
+        key = (
+            jax.random.PRNGKey(seed) if exists(seed) else self._next_key()
+        )
+        k_noise, k_latent = jax.random.split(key)
+
+        call_kwargs = dict(kwargs)
+        if exists(styles):
+            call_kwargs["styles"] = styles
+        if exists(noise):
+            call_kwargs["noise"] = noise
+        if exists(text_encodings):
+            call_kwargs["text_encodings"] = jnp.asarray(text_encodings)
+        if self.train_upsampler:
+            assert exists(lowres_image)
+            call_kwargs["lowres_image"] = jnp.asarray(
+                lowres_image, self.G.dtype
+            )
+        else:
+            call_kwargs["batch_size"] = batch_size
+
+        out = self.G.apply(
+            {"params": self._generate_params()},
+            rngs={"noise": k_noise, "latent": k_latent},
+            **call_kwargs,
+        )
+        return jax.device_get(out).astype(np.float32)
+
+    def save_sample(self, batch_size, dl_iter=None):
+        milestone = self.steps // self.save_and_sample_every
+        from gigagan_tpu.utils import num_to_groups
+
+        if self.train_upsampler:
+            dl_iter = default(self.sample_upsampler_dl_iter, dl_iter)
+        assert exists(dl_iter) or (
+            self.unconditional and not self.train_upsampler
+        )
+
+        batches = num_to_groups(self.num_samples, batch_size)
+        rows = []
+        for n in batches:
+            gen_kwargs = dict(batch_size=n)
+            if self.train_upsampler or not self.unconditional:
+                result = next(dl_iter)
+                if self.unconditional:
+                    (real,) = (
+                        result if isinstance(result, tuple) else (result,)
+                    )
+                else:
+                    real, texts = result
+                    gen_kwargs["texts"] = list(texts)[:n]
+                if self.train_upsampler:
+                    from gigagan_tpu import ops
+
+                    size = self.G.input_image_size
+                    lowres = ops.resize_image_to(
+                        jnp.asarray(real[:n]), size
+                    )
+                    gen_kwargs["lowres_image"] = lowres
+            out = self.generate(**gen_kwargs)
+            if self.train_upsampler:
+                from gigagan_tpu import ops
+
+                up = np.asarray(
+                    jax.device_get(
+                        ops.resize_image_to(
+                            gen_kwargs["lowres_image"], out.shape[1]
+                        )
+                    ),
+                    np.float32,
+                )
+                out = np.concatenate([up, out], axis=0)
+            rows.append(out)
+
+        images = np.clip(np.concatenate(rows, axis=0), 0.0, 1.0)
+        nrow = int(sqrt(self.num_samples)) * (
+            2 if self.train_upsampler else 1
+        )
+        path = self.results_folder / f"sample-{milestone}.png"
+        save_image_grid(images, path, nrow=nrow)
+        self.save(self.model_folder / f"model-{milestone}.ckpt")
+
+    # -------------------------------------------------------- checkpointing
+
+    def save(self, path, overwrite=True):
+        path = Path(path)
+        path.parent.mkdir(exist_ok=True, parents=True)
+        assert overwrite or not path.exists()
+        state = jax.device_get(self.state)
+        payload = {
+            "state": serialization.to_state_dict(state),
+            "version": gigagan_tpu.__version__,
+        }
+        path.write_bytes(serialization.msgpack_serialize(payload))
+
+    def load(self, path):
+        path = Path(path)
+        assert path.exists()
+        payload = serialization.msgpack_restore(path.read_bytes())
+        if payload.get("version") != gigagan_tpu.__version__:
+            self.print(
+                f"trying to load from version {payload.get('version')}"
+            )
+        template = jax.device_get(self.state)
+        state = serialization.from_state_dict(template, payload["state"])
+        self.state = parallel.replicate(state, self.mesh)
+
+
+def save_image_grid(images, path, nrow: int):
+    """(n, h, w, c) float [0,1] → PNG grid (torchvision save_image parity)."""
+    from PIL import Image as PILImage
+
+    n, h, w, c = images.shape
+    ncol = nrow
+    nrows = -(-n // ncol)
+    grid = np.ones((nrows * h + (nrows + 1) * 2,
+                    ncol * w + (ncol + 1) * 2, c), np.float32)
+    for i in range(n):
+        r, cl = divmod(i, ncol)
+        top = r * h + (r + 1) * 2
+        left = cl * w + (cl + 1) * 2
+        grid[top : top + h, left : left + w] = images[i]
+    arr = (grid * 255).astype(np.uint8)
+    if c == 1:
+        arr = arr[..., 0]
+    PILImage.fromarray(arr).save(path)

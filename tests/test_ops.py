@@ -43,23 +43,24 @@ class TestAdaptiveConv:
         np.testing.assert_allclose(fast, ref, rtol=2e-4, atol=2e-4)
 
     def test_batch_expansion(self):
-        """Multiscale D expands batch by stacking scale groups; mod must tile
-        with the scale group as the outer dim (reference:
-        gigagan_pytorch.py:365-374)."""
+        """Multiscale D expands batch with scale groups; mod expands
+        batch-MAJOR (row i*s+g is sample i, group g) — see expand_batch for
+        why this diverges from the reference's scale-major order."""
         keys = jax.random.split(jax.random.PRNGKey(2), 4)
         b, s = 2, 3
-        x = rand(keys[0], s * b, 8, 8, 4)
+        x = rand(keys[0], b * s, 8, 8, 4)
         weights = rand(keys[1], 2, 3, 3, 4, 5) * 0.2
         mod = rand(keys[2], b, 4)
         kmod = rand(keys[3], b, 2)
 
         out = adaptive_conv(x, weights, mod, kmod)
-        # group g of the expanded batch must equal running that group alone
-        # with the un-expanded mod
+        # group g of each sample must equal running that group alone with
+        # the un-expanded mod
+        x5 = x.reshape(b, s, 8, 8, 4)
+        out5 = out.reshape(b, s, 8, 8, 5)
         for g in range(s):
-            sub = adaptive_conv(x[g * b : (g + 1) * b], weights, mod, kmod)
-            np.testing.assert_allclose(out[g * b : (g + 1) * b], sub,
-                                       rtol=2e-4, atol=2e-4)
+            sub = adaptive_conv(x5[:, g], weights, mod, kmod)
+            np.testing.assert_allclose(out5[:, g], sub, rtol=2e-4, atol=2e-4)
 
     def test_1x1_no_demod_is_plain_modulated_conv(self):
         """to_rgb path: 1x1 kernel, single bank, no demod

@@ -1,0 +1,335 @@
+"""End-to-end training tests: the minimum end-to-end slice from SURVEY.md §7
+(unconditional G+D, hinge + GP + aux recon + multiscale, jitted alternating
+steps, EMA, checkpoint, sample grid) on an 8-virtual-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigagan_tpu import losses as L
+from gigagan_tpu.data import MockImageDataset, MockTextImageDataset
+from gigagan_tpu.train import GigaGAN, EMAState, ema_update, get_optimizer
+
+IMAGE_SIZE = 16
+
+
+def tiny_gan(tmp_path, **overrides):
+    kwargs = dict(
+        generator=dict(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=32,
+            dim_latent=16,
+            style_network=dict(dim=16, depth=1),
+            self_attn_resolutions=(),
+            cross_attn_resolutions=(),
+            num_conv_kernels=2,
+            unconditional=True,
+        ),
+        discriminator=dict(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=32,
+            attn_resolutions=(),
+            multiscale_input_resolutions=(8,),
+            aux_recon_resolutions=(8,),
+            aux_recon_patch_dims=(1,),
+            aux_recon_frac_patches=(1.0,),
+            num_conv_kernels=2,
+            unconditional=True,
+        ),
+        model_folder=str(tmp_path / "models"),
+        results_folder=str(tmp_path / "results"),
+        log_steps_every=1,
+        save_and_sample_every=1000,
+        early_save_thres_steps=0,
+        num_samples=4,
+        seed=0,
+    )
+    kwargs.update(overrides)
+    return GigaGAN(**kwargs)
+
+
+class TestLosses:
+    def test_hinge_polarity(self):
+        # D should drive real low, fake high (inverted polarity docstring,
+        # reference :169)
+        real_good = jnp.full((4,), -2.0)
+        fake_good = jnp.full((4,), 2.0)
+        assert float(L.discriminator_hinge_loss(real_good, fake_good)) == 0.0
+        assert float(
+            L.discriminator_hinge_loss(-real_good, -fake_good)
+        ) > 0.0
+
+    def test_matching_loss_decreases_with_rejection(self):
+        # D rejecting mismatches = high logits on both → low loss
+        hi = jnp.full((4,), 5.0)
+        lo = jnp.full((4,), -5.0)
+        assert float(L.aux_matching_loss(hi, hi)) < float(
+            L.aux_matching_loss(lo, lo)
+        )
+
+    def test_gradient_penalty_value(self):
+        # f(x) = a·Σx → grad = a·1 → ||g||₂ = a·sqrt(n); center 0 → w·a²·n
+        x = jnp.ones((2, 5))
+        gp = L.gradient_penalty(x, lambda t: 3.0 * jnp.sum(t), weight=10.0)
+        np.testing.assert_allclose(float(gp), 10.0 * 9.0 * 5.0, rtol=1e-5)
+
+    def test_contrastive_loss_prefers_alignment(self):
+        key = jax.random.PRNGKey(0)
+        e = jax.random.normal(key, (6, 8))
+        e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+        aligned = L.clip_contrastive_loss(e, e, 10.0)
+        shuffled = L.clip_contrastive_loss(e, jnp.roll(e, 1, 0), 10.0)
+        assert float(aligned) < float(shuffled)
+
+    def test_diff_augment_identical_on_image_and_rgbs(self):
+        aug = L.DiffAugment(prob=1.0, horizontal_flip=True,
+                            horizontal_flip_prob=1.0)
+        img = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        rgbs = [img[:, ::2, ::2], img]
+        out_img, out_rgbs = aug(jax.random.PRNGKey(1), img, rgbs)
+        np.testing.assert_allclose(out_img, img[:, :, ::-1])
+        np.testing.assert_allclose(out_rgbs[1], img[:, :, ::-1])
+
+    def test_diff_augment_prob_zero_is_identity(self):
+        aug = L.DiffAugment(prob=0.0, horizontal_flip=True)
+        img = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        out, _ = aug(jax.random.PRNGKey(1), img, [img])
+        np.testing.assert_allclose(out, img)
+
+
+class TestEMA:
+    def test_warmup_copies_then_lerps(self):
+        params = {"w": jnp.zeros(3)}
+        ema = EMAState.create(params)
+        # during warmup (step <= after+1) updates hard-copy
+        ema = ema_update(ema, {"w": jnp.ones(3)}, update_every=1,
+                         update_after_step=2)
+        np.testing.assert_allclose(ema.params["w"], 1.0)
+        for _ in range(10):
+            ema = ema_update(ema, {"w": jnp.full((3,), 2.0)},
+                             update_every=1, update_after_step=2)
+        # past warmup: lerping toward 2 but not instantly
+        assert 1.0 < float(ema.params["w"][0]) <= 2.0
+
+    def test_update_every_gates(self):
+        params = {"w": jnp.zeros(3)}
+        ema = EMAState.create(params)
+        ema = ema_update(ema, {"w": jnp.ones(3)}, update_every=10,
+                         update_after_step=0)
+        # step 1: not a multiple of 10 and never initted → unchanged... but
+        # first actual update must eventually copy
+        for _ in range(9):
+            ema = ema_update(ema, {"w": jnp.ones(3)}, update_every=10,
+                             update_after_step=0)
+        assert bool(ema.initted)
+
+
+class TestOptimizer:
+    def test_adam_when_no_wd(self):
+        tx = get_optimizer(lr=1e-3, wd=0.0, betas=(0.5, 0.9))
+        params = {"w": jnp.ones((3, 3)), "b": jnp.ones((3,))}
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert jnp.all(jnp.isfinite(updates["w"]))
+
+    def test_wd_mask_excludes_small_ndim(self):
+        tx = get_optimizer(lr=0.0, wd=1.0, betas=(0.5, 0.9))
+        params = {"w": jnp.ones((3, 3)), "b": jnp.ones((3,))}
+        state = tx.init(params)
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        updates, _ = tx.update(zero_grads, state, params)
+        # lr=0 → adam term vanishes; only decay remains, and only on w...
+        # (optax folds lr into decay, so with lr=0 both are 0 — use lr>0)
+        tx = get_optimizer(lr=1.0, wd=0.5, betas=(0.5, 0.9))
+        state = tx.init(params)
+        updates, _ = tx.update(zero_grads, state, params)
+        assert float(jnp.abs(updates["w"]).sum()) > 0  # decayed
+        assert float(jnp.abs(updates["b"]).sum()) == 0  # masked
+
+
+class TestTrainLoop:
+    @pytest.fixture(scope="class")
+    def trained(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("gan")
+        gan = tiny_gan(tmp)
+        ds = MockImageDataset(IMAGE_SIZE, length=64, seed=0)
+        gan.set_dataloader(ds.get_dataloader(8))
+        gan.forward(steps=3, grad_accum_every=2)
+        return gan, tmp
+
+    def test_steps_advanced_and_params_changed(self, trained):
+        gan, _ = trained
+        assert gan.steps == 4  # starts at 1, 3 steps
+        metrics_finite = jax.tree.map(
+            lambda x: bool(jnp.isfinite(x).all()), jax.device_get(
+                gan.state.g_params
+            )
+        )
+        assert all(jax.tree.leaves(metrics_finite))
+
+    def test_generate(self, trained):
+        gan, _ = trained
+        out = gan.generate(batch_size=2, seed=7)
+        assert out.shape == (2, IMAGE_SIZE, IMAGE_SIZE, 3)
+        assert np.isfinite(out).all()
+        # same seed → same images (EMA params fixed)
+        out2 = gan.generate(batch_size=2, seed=7)
+        np.testing.assert_allclose(out, out2)
+
+    def test_save_load_roundtrip(self, trained):
+        gan, tmp = trained
+        ckpt = tmp / "roundtrip.ckpt"
+        gan.save(ckpt)
+        before = jax.device_get(gan.state.g_params)
+
+        gan2 = tiny_gan(tmp, seed=123)
+        gan2.load(ckpt)
+        after = jax.device_get(gan2.state.g_params)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_allclose(a, b)
+        assert gan2.steps == gan.steps
+
+    def test_sample_grid_written(self, trained):
+        gan, tmp = trained
+        dl = MockImageDataset(IMAGE_SIZE, length=64).get_dataloader(4)
+        from gigagan_tpu.utils import cycle
+
+        gan.save_sample(4, cycle(dl))
+        samples = list((tmp / "results").glob("sample-*.png"))
+        assert len(samples) >= 1
+        ckpts = list((tmp / "models").glob("model-*.ckpt"))
+        assert len(ckpts) >= 1
+
+
+class TestConditionalTraining:
+    def test_text_conditioned_steps_run(self, tmp_path):
+        clip_dim = 24
+
+        class StubClip:
+            """Deterministic text embedder standing in for CLIP."""
+
+            def embed_texts(self, texts):
+                outs = []
+                for t in texts:
+                    rng = np.random.default_rng(abs(hash(t)) % (2 ** 31))
+                    enc = rng.standard_normal((7, clip_dim)).astype(
+                        np.float32
+                    )
+                    outs.append(enc)
+                return None, np.stack(outs)
+
+        gan = GigaGAN(
+            generator=dict(
+                image_size=IMAGE_SIZE,
+                dim_capacity=4,
+                dim_max=32,
+                dim_latent=16,
+                style_network=dict(dim=16, depth=1, dim_text_latent=16),
+                text_encoder=dict(dim=16, depth=1, clip_dim=clip_dim),
+                self_attn_resolutions=(),
+                cross_attn_resolutions=(8,),
+                num_conv_kernels=2,
+                unconditional=False,
+            ),
+            discriminator=dict(
+                image_size=IMAGE_SIZE,
+                dim_capacity=4,
+                dim_max=32,
+                attn_resolutions=(),
+                multiscale_input_resolutions=(8,),
+                aux_recon_resolutions=(),
+                aux_recon_patch_dims=(),
+                aux_recon_frac_patches=(),
+                num_conv_kernels=2,
+                unconditional=False,
+                text_encoder=dict(dim=16, depth=1, clip_dim=clip_dim),
+            ),
+            generator_contrastive_loss_weight=0.0,  # CLIP tower lands later
+            model_folder=str(tmp_path / "models"),
+            results_folder=str(tmp_path / "results"),
+            log_steps_every=1000,
+            clip=StubClip(),
+            seed=0,
+        )
+        ds = MockTextImageDataset(IMAGE_SIZE, length=64)
+        gan.set_dataloader(ds.get_dataloader(8))
+        gan.forward(steps=2, grad_accum_every=1)
+        assert gan.steps == 3
+
+    def test_clip_dim_override(self, tmp_path):
+        # text_encodings of the right width flow through G and D
+        pass
+
+
+class TestUpsamplerTraining:
+    def test_upsampler_train_and_generate(self, tmp_path):
+        gan = GigaGAN(
+            train_upsampler=True,
+            generator=dict(
+                dim=8,
+                image_size=32,
+                input_image_size=8,
+                dim_mults=(1, 2),
+                full_attn=(False, True),
+                cross_attn=(False, False),
+                attn_depths=(1, 1),
+                temporal_attn_depths=(1, 1),
+                num_conv_kernels=2,
+                unconditional=True,
+                style_network=dict(dim=16, depth=1),
+            ),
+            discriminator=dict(
+                image_size=32,
+                dim_capacity=4,
+                dim_max=32,
+                attn_resolutions=(),
+                multiscale_input_resolutions=(16,),
+                aux_recon_resolutions=(),
+                aux_recon_patch_dims=(),
+                aux_recon_frac_patches=(),
+                num_conv_kernels=2,
+                unconditional=True,
+            ),
+            model_folder=str(tmp_path / "models"),
+            results_folder=str(tmp_path / "results"),
+            log_steps_every=1000,
+            seed=0,
+        )
+        ds = MockImageDataset(32, length=64, seed=0)
+        gan.set_dataloader(ds.get_dataloader(8))
+        gan.forward(steps=2, grad_accum_every=1)
+        assert gan.steps == 3
+
+        lowres = np.random.default_rng(0).random((2, 8, 8, 3)).astype(
+            np.float32
+        )
+        out = gan.generate(lowres_image=lowres, seed=5)
+        assert out.shape == (2, 32, 32, 3)
+
+    def test_upsampler_rejects_bad_multiscale_res(self, tmp_path):
+        with pytest.raises(AssertionError, match="multiscale input"):
+            GigaGAN(
+                train_upsampler=True,
+                generator=dict(
+                    dim=8, image_size=32, input_image_size=8,
+                    dim_mults=(1, 2), full_attn=(False, True),
+                    cross_attn=(False, False), attn_depths=(1, 1),
+                    temporal_attn_depths=(1, 1),
+                    unconditional=True, style_network=dict(dim=16, depth=1),
+                ),
+                discriminator=dict(
+                    image_size=32, dim_capacity=4, dim_max=32,
+                    attn_resolutions=(),
+                    multiscale_input_resolutions=(4,),  # < input size
+                    aux_recon_resolutions=(), aux_recon_patch_dims=(),
+                    aux_recon_frac_patches=(), unconditional=True,
+                ),
+                model_folder=str(tmp_path / "m"),
+                results_folder=str(tmp_path / "r"),
+            )
