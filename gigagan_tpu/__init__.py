@@ -27,6 +27,10 @@ def __getattr__(name):
         from gigagan_tpu.models.vision_aided import VisionAidedDiscriminator
 
         return VisionAidedDiscriminator
+    if name == "OpenClipAdapter":
+        from gigagan_tpu.models.clip import OpenClipAdapter
+
+        return OpenClipAdapter
     if name == "GigaGAN":
         from gigagan_tpu.train import GigaGAN
 
@@ -53,6 +57,7 @@ def __getattr__(name):
 
 __all__ = [
     "GigaGAN",
+    "OpenClipAdapter",
     "Generator",
     "Discriminator",
     "VisionAidedDiscriminator",

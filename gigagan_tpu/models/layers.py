@@ -45,10 +45,16 @@ def leaky_relu(x, neg_slope: float = 0.2):
 
 
 def l2norm(x, axis=-1, eps: float = 1e-12):
-    """torch F.normalize semantics: x / max(||x||2, eps)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
-                            keepdims=True))
-    return (x / jnp.maximum(norm, eps).astype(x.dtype)).astype(x.dtype)
+    """torch F.normalize semantics: x / max(||x||2, eps).
+
+    The clamp sits INSIDE the sqrt: sqrt(0) has an infinite gradient, and
+    exactly-zero rows (CLIP encodings are zero-masked past EOS) would turn
+    the backward into 0*inf = NaN — this is how the step-1 bf16 NaN looked.
+    """
+    sum_sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
+                     keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sum_sq, eps * eps))
+    return (x / norm.astype(x.dtype)).astype(x.dtype)
 
 
 def conv3x3(features: int, dtype=None, name=None):

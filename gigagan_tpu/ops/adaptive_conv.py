@@ -26,6 +26,8 @@ Weight banks are ``(n, *kernel_spatial, in, out)`` (HWIO per bank).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from functools import partial
 
 import jax
@@ -33,6 +35,23 @@ import jax.numpy as jnp
 from jax import lax
 
 from gigagan_tpu.utils import exists
+
+# Context override for the pallas path.  The fused kernel's custom VJP is
+# first-order: differentiating THROUGH its backward (as the R1 gradient
+# penalty's double-backward does) has no autodiff rule, so GP-bearing
+# discriminator applies trace under `pallas_disabled()`.
+_PALLAS_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "gigagan_pallas_override", default=None
+)
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    token = _PALLAS_OVERRIDE.set(False)
+    try:
+        yield
+    finally:
+        _PALLAS_OVERRIDE.reset(token)
 
 
 def _dim_numbers(rank: int):
@@ -92,6 +111,24 @@ def _conv(x, w, *, stride: int, dilation: int, rank: int):
     )
 
 
+def demod_scale(weights, scale_in, attn=None, eps: float = 1e-8):
+    """Per-sample output-channel demodulation scale from the kernel-bank
+    Gram matrix (see module docstring, step 3)."""
+    n = weights.shape[0]
+    b = scale_in.shape[0]
+    gram = kernel_gram(weights.astype(jnp.float32))  # (n, n, i, o)
+    s2 = scale_in * scale_in  # (b, i)
+    if n > 1:
+        gram_flat = gram.reshape(n * n, *gram.shape[2:])
+        # (p*o, i) @ (i, b) matmul — tiny next to the conv
+        t = jnp.einsum("pio,bi->bpo", gram_flat, s2)
+        pair = jnp.einsum("bn,bm->bnm", attn, attn).reshape(b, n * n)
+        d_sq = jnp.einsum("bp,bpo->bo", pair, t)
+    else:
+        d_sq = jnp.einsum("io,bi->bo", gram[0, 0], s2)
+    return lax.rsqrt(jnp.maximum(d_sq, eps))
+
+
 def adaptive_conv(
     x,
     weights,
@@ -102,6 +139,7 @@ def adaptive_conv(
     stride: int = 1,
     dilation: int = 1,
     eps: float = 1e-8,
+    use_pallas=None,
 ):
     """Fused-by-construction adaptive modulated conv (2d or 1d).
 
@@ -131,6 +169,43 @@ def adaptive_conv(
     # (1) fold input-channel modulation into the activations
     x = x * scale_in[spatial_axes + (slice(None),)].astype(compute_dtype)
 
+    # fused Pallas path: one kernel, 1x the conv FLOPs (the XLA path below
+    # pays n x via the n*o-channel conv) — see ops/pallas/adaptive_conv.py
+    eligible = (
+        rank == 2
+        and weights.shape[1] == weights.shape[2] == 3
+        and stride == 1
+        and dilation == 1
+        # backward g-blocks are whole-map: cap spatial so VMEM holds them
+        and x.shape[1] * x.shape[2] <= 64 * 64
+    )
+    if use_pallas is None:
+        override = _PALLAS_OVERRIDE.get()
+        if override is not None:
+            use_pallas = override and eligible
+        else:
+            from gigagan_tpu.ops.pallas.adaptive_conv import (
+                pallas_supported,
+            )
+
+            use_pallas = eligible and pallas_supported()
+    if use_pallas:
+        from gigagan_tpu.ops.pallas.adaptive_conv import (
+            fused_adaptive_conv2d,
+        )
+
+        assert eligible, "pallas path requires 2d 3x3 stride-1 conv"
+        if adaptive:
+            kernel_mod = expand_batch(kernel_mod, b)
+            attn = jax.nn.softmax(kernel_mod.astype(jnp.float32), axis=-1)
+        else:
+            attn = jnp.ones((b, 1), jnp.float32)
+        if demod:
+            d = demod_scale(weights, scale_in, attn, eps)
+        else:
+            d = jnp.ones((b, weights.shape[-1]), jnp.float32)
+        return fused_adaptive_conv2d(x, weights, attn, d)
+
     # (2) one conv with n·o output channels, then per-sample bank mixing
     w_flat = jnp.moveaxis(weights, 0, -2)  # (*k, i, n, o)
     w_flat = w_flat.reshape(*weights.shape[1:-1], n * weights.shape[-1])
@@ -151,17 +226,7 @@ def adaptive_conv(
 
     # (3) demodulation as an output-channel scale from the Gram matrix
     if demod:
-        gram = kernel_gram(weights.astype(jnp.float32))  # (n, n, i, o)
-        s2 = scale_in * scale_in  # (b, i)
-        if adaptive:
-            gram_flat = gram.reshape(n * n, *gram.shape[2:])
-            # (p·o, i) @ (i, b) matmul — tiny next to the conv
-            t = jnp.einsum("pio,bi->bpo", gram_flat, s2)
-            pair = jnp.einsum("bn,bm->bnm", attn, attn).reshape(b, n * n)
-            d_sq = jnp.einsum("bp,bpo->bo", pair, t)
-        else:
-            d_sq = jnp.einsum("io,bi->bo", gram[0, 0], s2)
-        d = lax.rsqrt(jnp.maximum(d_sq, eps))
+        d = demod_scale(weights, scale_in, attn, eps)
         out = out * d[spatial_axes + (slice(None),)].astype(compute_dtype)
 
     return out

@@ -1,0 +1,351 @@
+"""Pallas TPU kernel: fused sample-adaptive modulated 3x3 conv.
+
+The XLA decomposition in `ops.adaptive_conv` runs ONE conv with n·o output
+channels and mixes outputs per sample — n× the conv FLOPs (n = number of
+kernel banks).  This kernel removes that factor: for each (sample, output
+tile) it mixes the kernel banks ONCE in VMEM with the sample's softmax
+selection weights, then computes the conv as 9 shifted MXU matmuls with the
+mixed weights, applying the demodulation output scale in-register.  The
+per-sample weights never exist in HBM — the exact fusion SURVEY.md §2.1
+names as the top perf lever (the reference materializes b·o·i·k·k weights
+for a cuDNN grouped conv, gigagan_pytorch.py:381,402-407).
+
+Layout contract (same as ops.adaptive_conv):
+  x_mod   (b, h, w, i)   activations with (1+mod) folded in
+  weights (n, 3, 3, i, o)
+  attn    (b, n)         softmax kernel-selection
+  demod   (b, o)         output scale (ones when demod=False)
+  out     (b, h, w, o)
+
+Both input and output channels are tiled so weight blocks fit VMEM at
+dim_max-scale layers (o tiles of 128 lanes; i tiles chosen to budget).
+
+Backward is a custom VJP (first-order — the trainer's R1 double-backward
+traces its D applies on the XLA path via `pallas_disabled()`):
+  dx      — the SAME kernel on the demod-scaled cotangent with spatially
+            flipped, (i,o)-transposed weights
+  dW, da  — one kernel forming the per-sample weight-gradient tile in VMEM
+            and contracting it immediately against (a) the selection weights
+            into dW and (b) the kernel banks into da — nothing per-sample
+            ever reaches HBM.
+
+Grid discipline: TPU grids run sequentially on the core, so accumulator
+output blocks are valid while their revisits are consecutive — the batch
+(and input-tile) loops sit innermost; da lives in SMEM as a full block that
+stays resident for the whole kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_supported() -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform == "tpu"
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _row_chunks(h, w_dim, co_tile, budget_bytes=4 * 1024 * 1024):
+    """Accumulator row-chunking so (chunk·w, co_tile) fp32 fits the budget."""
+    rows = max(1, budget_bytes // (w_dim * co_tile * 4))
+    rows = min(rows, h)
+    while h % rows != 0:
+        rows -= 1
+    return rows
+
+
+def _ci_tile(ci, n, co_tile, budget_bytes=4 * 1024 * 1024):
+    """Input-channel tile so the (n, 3, 3, ci_t, co_t) fp32 weight block
+    fits the budget."""
+    t = max(1, budget_bytes // (n * 9 * co_tile * 4))
+    t = min(t, ci)
+    while ci % t != 0:
+        t -= 1
+    return t
+
+
+# ----------------------------------------------------------------- forward
+
+def _fwd_kernel(x_ref, w_ref, attn_ref, demod_ref, out_ref, acc_ref, *, n,
+                h, w_dim, ci_t, co_tile, chunk, n_i):
+    # grid = (batch, o_tiles, i_tiles) — i innermost so the accumulator
+    # stays resident while input-channel partial sums accumulate
+    bi = pl.program_id(0)
+    ii = pl.program_id(2)
+
+    x = x_ref[0]  # (h+2, w+2, ci_t)
+
+    w_mix = attn_ref[bi, 0].astype(jnp.float32) * w_ref[0].astype(jnp.float32)
+    for bank in range(1, n):
+        w_mix = w_mix + (
+            attn_ref[bi, bank].astype(jnp.float32)
+            * w_ref[bank].astype(jnp.float32)
+        )
+    # keep MXU operands in the input dtype (bf16 x bf16 -> fp32 accumulate);
+    # an fp32 upcast would force the slow fp32 MXU path
+    w_mix = w_mix.astype(x.dtype)
+
+    scale = demod_ref[bi].astype(jnp.float32)
+
+    if n_i == 1:
+        # single input tile: no scratch, write scaled chunks directly
+        for r0 in range(0, h, chunk):
+            acc = jnp.zeros((chunk * w_dim, co_tile), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    patch = x[r0 + ky : r0 + ky + chunk, kx : kx + w_dim, :]
+                    acc = acc + jnp.dot(
+                        patch.reshape(chunk * w_dim, ci_t),
+                        w_mix[ky, kx],
+                        preferred_element_type=jnp.float32,
+                    )
+            out = (acc * scale[None, :]).reshape(chunk, w_dim, co_tile)
+            out_ref[0, r0 : r0 + chunk] = out.astype(out_ref.dtype)
+        return
+
+    @pl.when(ii == 0)
+    def _zero_acc():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for r0 in range(0, h, chunk):
+        acc = jnp.zeros((chunk * w_dim, co_tile), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                patch = x[r0 + ky : r0 + ky + chunk, kx : kx + w_dim, :]
+                acc = acc + jnp.dot(
+                    patch.reshape(chunk * w_dim, ci_t),
+                    w_mix[ky, kx],
+                    preferred_element_type=jnp.float32,
+                )
+        acc_ref[r0 : r0 + chunk] += acc.reshape(chunk, w_dim, co_tile)
+
+    @pl.when(ii == n_i - 1)
+    def _finish():
+        out_ref[0] = (acc_ref[...] * scale[None, None, :]).astype(
+            out_ref.dtype
+        )
+
+
+def _fwd_pallas(x_mod, weights, attn, demod, *, co_tile, interpret):
+    b, h, w_dim, ci = x_mod.shape
+    n = weights.shape[0]
+    co = weights.shape[-1]
+    co_tile = min(co_tile, _round_up(co, 128))
+    co_pad = _round_up(co, co_tile)
+    if co_pad != co:
+        weights = jnp.pad(
+            weights, ((0, 0), (0, 0), (0, 0), (0, 0), (0, co_pad - co))
+        )
+        demod = jnp.pad(demod, ((0, 0), (0, co_pad - co)))
+
+    x_pad = jnp.pad(x_mod, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    chunk = _row_chunks(h, w_dim, co_tile)
+    ci_t = _ci_tile(ci, n, co_tile)
+    n_i = ci // ci_t
+
+    grid = (b, co_pad // co_tile, n_i)
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, n=n, h=h, w_dim=w_dim, ci_t=ci_t, co_tile=co_tile,
+            chunk=chunk, n_i=n_i,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h + 2, w_dim + 2, ci_t),
+                         lambda bi, oi, ii: (bi, 0, 0, ii),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 3, 3, ci_t, co_tile),
+                         lambda bi, oi, ii: (0, 0, 0, ii, oi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, n), lambda bi, oi, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, co_tile), lambda bi, oi, ii: (0, oi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w_dim, co_tile), lambda bi, oi, ii: (bi, 0, 0, oi),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, co_pad), x_mod.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (h, w_dim, co_tile) if n_i > 1 else (1, 1, 1), jnp.float32
+            )
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w_dim * 9 * ci * co_pad,
+            bytes_accessed=(
+                x_pad.size * x_pad.dtype.itemsize
+                + weights.size * weights.dtype.itemsize
+                + b * h * w_dim * co_pad * x_mod.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(x_pad, weights, attn, demod)
+    return out[..., :co]
+
+
+# ---------------------------------------------------------------- backward
+
+def _bwd_w_kernel(x_ref, g_ref, w_ref, attn_ref, dw_ref, da_ref, *, n, b,
+                  h, w_dim, ci_t, co_tile, chunk):
+    # grid = (o_tiles, i_tiles, batch) — batch innermost: the dw block stays
+    # resident across its accumulation sweep
+    oi = pl.program_id(0)
+    ii = pl.program_id(1)
+    bi = pl.program_id(2)
+
+    @pl.when(bi == 0)
+    def _zero_dw():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    @pl.when((oi == 0) & (ii == 0) & (bi == 0))
+    def _zero_da():
+        # SMEM accepts only scalar stores
+        for bb in range(b):
+            for bank in range(n):
+                da_ref[bb, bank] = 0.0
+
+    x = x_ref[0]  # (h+2, w+2, ci_t)
+
+    for ky in range(3):
+        for kx in range(3):
+            dw_local = jnp.zeros((ci_t, co_tile), jnp.float32)
+            for r0 in range(0, h, chunk):
+                patch = x[r0 + ky : r0 + ky + chunk, kx : kx + w_dim, :]
+                g = g_ref[0, r0 : r0 + chunk]
+                dw_local = dw_local + jnp.dot(
+                    patch.reshape(chunk * w_dim, ci_t).T,
+                    g.reshape(chunk * w_dim, co_tile),
+                    preferred_element_type=jnp.float32,
+                )
+            for bank in range(n):
+                a = attn_ref[bi, bank].astype(jnp.float32)
+                dw_ref[bank, ky, kx] += a * dw_local
+                da_ref[bi, bank] += jnp.sum(
+                    w_ref[bank, ky, kx].astype(jnp.float32) * dw_local
+                )
+
+
+def _bwd_w_pallas(x_pad, g_scaled, weights, attn, *, co_tile, interpret):
+    b, hp, wp, ci = x_pad.shape
+    h, w_dim = hp - 2, wp - 2
+    n, _, _, _, co = weights.shape
+    co_tile = min(co_tile, _round_up(co, 128))
+    co_pad = _round_up(co, co_tile)
+    if co_pad != co:
+        weights = jnp.pad(
+            weights, ((0, 0), (0, 0), (0, 0), (0, 0), (0, co_pad - co))
+        )
+        g_scaled = jnp.pad(
+            g_scaled, ((0, 0), (0, 0), (0, 0), (0, co_pad - co))
+        )
+    chunk = _row_chunks(h, w_dim, co_tile)
+    ci_t = _ci_tile(ci, n, co_tile, budget_bytes=3 * 1024 * 1024)
+    n_i = ci // ci_t
+
+    grid = (co_pad // co_tile, n_i, b)
+    dw, da = pl.pallas_call(
+        functools.partial(
+            _bwd_w_kernel, n=n, b=b, h=h, w_dim=w_dim, ci_t=ci_t,
+            co_tile=co_tile, chunk=chunk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, ci_t),
+                         lambda oi, ii, bi: (bi, 0, 0, ii),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w_dim, co_tile),
+                         lambda oi, ii, bi: (bi, 0, 0, oi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 3, 3, ci_t, co_tile),
+                         lambda oi, ii, bi: (0, 0, 0, ii, oi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, n), lambda oi, ii, bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # dw tile resident across the inner batch sweep
+            pl.BlockSpec((n, 3, 3, ci_t, co_tile),
+                         lambda oi, ii, bi: (0, 0, 0, ii, oi),
+                         memory_space=pltpu.VMEM),
+            # da: same full block every iteration → resident; SMEM because
+            # its accumulation is scalar stores
+            pl.BlockSpec((b, n), lambda oi, ii, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 3, 3, ci, co_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x_pad, g_scaled, weights, attn)
+    return dw[..., :co], da
+
+
+# --------------------------------------------------------------- public op
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_adaptive_conv2d(x_mod, weights, attn, demod, co_tile=128,
+                          interpret=None):
+    """out[b] = demod[b] ⊙ conv2d(x_mod[b], Σₙ attn[b,n]·Wₙ), 3x3, SAME."""
+    interpret = (not pallas_supported()) if interpret is None else interpret
+    return _fwd_pallas(x_mod, weights, attn, demod, co_tile=co_tile,
+                       interpret=interpret)
+
+
+def _fused_fwd(x_mod, weights, attn, demod, co_tile, interpret):
+    # fwd keeps the primal's argument order; only bwd gets the nondiff
+    # args (co_tile, interpret) prepended
+    out = fused_adaptive_conv2d(x_mod, weights, attn, demod, co_tile,
+                                interpret)
+    return out, (x_mod, weights, attn, demod, out)
+
+
+def _fused_bwd(co_tile, interpret, residuals, g):
+    x_mod, weights, attn, demod, out = residuals
+    interpret = (not pallas_supported()) if interpret is None else interpret
+    b = x_mod.shape[0]
+
+    # demod grad from the saved output: d_demod[b,o] = Σ g·(out/demod)
+    d_demod = jnp.einsum(
+        "bhwo,bhwo->bo", g.astype(jnp.float32), out.astype(jnp.float32)
+    ) / jnp.where(demod == 0.0, 1.0, demod.astype(jnp.float32))
+
+    g_scaled = (
+        g.astype(jnp.float32) * demod.astype(jnp.float32)[:, None, None, :]
+    ).astype(x_mod.dtype)
+
+    # dx: same kernel, flipped + (i,o)-transposed weights, unit demod
+    w_t = jnp.flip(weights, axis=(1, 2)).swapaxes(-1, -2)  # (n,3,3,o,i)
+    ones = jnp.ones((b, x_mod.shape[-1]), jnp.float32)
+    dx = _fwd_pallas(g_scaled, w_t, attn, ones, co_tile=co_tile,
+                     interpret=interpret).astype(x_mod.dtype)
+
+    # dW and da in one pass
+    x_pad = jnp.pad(x_mod, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw, da = _bwd_w_pallas(x_pad, g_scaled, weights, attn, co_tile=co_tile,
+                           interpret=interpret)
+
+    return (
+        dx,
+        dw.astype(weights.dtype),
+        da.astype(attn.dtype),
+        d_demod.astype(demod.dtype),
+    )
+
+
+fused_adaptive_conv2d.defvjp(_fused_fwd, _fused_bwd)

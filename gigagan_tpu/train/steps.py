@@ -7,10 +7,16 @@ Maps the reference's host-side training loops (gigagan_pytorch/gigagan_pytorch
   fake and real, hinge + multiscale hinge + R1 gradient penalty (via
   `jax.vjp` reusing the SAME forward graph, exactly like torch's
   create_graph double-backward at :2357-2372) + aux reconstruction +
-  matching-aware loss, all accumulated across microbatches by `lax.scan`.
+  vision-aided hinge (+ its GP on the CLIP taps) + matching-aware loss, all
+  accumulated across microbatches by `lax.scan`; D and VD updated by their
+  own optimizers (reference :2477-2480).
 - `g_step`: per microbatch — sample fakes WITH grad, D forward, generator
-  hinge + multiscale + (vision-aided / contrastive hooks), scan-accumulated;
+  hinge + multiscale + vision-aided + CLIP contrastive, scan-accumulated;
   optimizer update; branchless EMA update folded in.
+
+Frozen CLIP params ride in as a separate (non-donated) `frozen` argument so
+they are neither baked into the graph as constants nor touched by
+optimizers.
 
 Static variants: (apply_gradient_penalty, calc_multiscale_loss) are trace
 constants — the trainer caches the ≤4 compiled step variants instead of
@@ -22,6 +28,13 @@ Reference defects fixed here (SURVEY.md §2.3):
   accumulated across ALL microbatches (the reference groups only the last
   microbatch's texts and overwrites instead of accumulating, :2437,:2471).
 - #4 weight decay plumbed for real (see train/optimizer.py).
+Documented divergences:
+- the CLIP contrastive pool is per-microbatch × all devices (the global
+  batch under jit sharding) instead of the reference's
+  retain_graph-across-microbatches pool (:2578-2592) — same estimator
+  family, far cheaper in memory.
+- the VD gradient penalty norm is per-SAMPLE; the reference's rearrange
+  treats the tap-stack layer dim as the batch (:154, fed (l b n d)).
 """
 
 from __future__ import annotations
@@ -48,6 +61,9 @@ class GANState:
     d_opt: Any
     ema: Optional[EMAState]
     steps: jnp.ndarray  # int32 scalar
+    vd_params: Any = None
+    vd_buffers: Any = None
+    vd_opt: Any = None
 
 
 def _tree_add(a, b):
@@ -69,6 +85,7 @@ class TrainStepBuilder:
         d_tx,
         *,
         vision_aided_discriminator=None,
+        vd_tx=None,
         clip=None,
         train_upsampler: bool = False,
         input_image_size: Optional[int] = None,
@@ -83,6 +100,7 @@ class TrainStepBuilder:
         self.G = generator
         self.D = discriminator
         self.VD = vision_aided_discriminator
+        self.vd_tx = vd_tx
         self.clip = clip
         self.g_tx = g_tx
         self.d_tx = d_tx
@@ -105,15 +123,22 @@ class TrainStepBuilder:
         return self.D.unconditional
 
     @property
+    def _has_jax_clip(self):
+        # a full JAX CLIP (flax model + params); duck-typed so lightweight
+        # text-embedder stubs can still drive conditional training
+        return exists(self.clip) and hasattr(self.clip, "model") and \
+            hasattr(self.clip, "params")
+
+    @property
     def need_vd(self):
-        return exists(self.VD) and self.vd_w > 0.0
+        return exists(self.VD) and self.vd_w > 0.0 and self._has_jax_clip
 
     @property
     def need_contrastive(self):
         return (
             self.contrastive_w > 0.0
             and not self.unconditional
-            and exists(self.clip)
+            and self._has_jax_clip
         )
 
     def _generate(self, g_params, real_images, text_enc, key):
@@ -152,12 +177,44 @@ class TrainStepBuilder:
             **kwargs,
         )
 
+    def _clip_taps(self, clip_params, images):
+        """CLIP visual tap stack for images in [0,1] (grad flows through)."""
+        from gigagan_tpu.models.clip import CLIPModel
+
+        imgs = self.clip.normalize_images(images.astype(jnp.float32))
+        _, taps = self.clip.model.apply(
+            {"params": clip_params}, imgs, method=CLIPModel.encode_image
+        )
+        return taps
+
+    def _clip_image_embed(self, clip_params, images):
+        from gigagan_tpu.models.clip import CLIPModel
+
+        imgs = self.clip.normalize_images(images.astype(jnp.float32))
+        embed, _ = self.clip.model.apply(
+            {"params": clip_params}, imgs, method=CLIPModel.encode_image
+        )
+        embed = embed.astype(jnp.float32)
+        return embed / jnp.maximum(
+            jnp.linalg.norm(embed, axis=-1, keepdims=True), 1e-12
+        )
+
+    def _vd_apply(self, vd_params, vd_buffers, taps, text_embeds):
+        kwargs = {}
+        if not self.VD.unconditional:
+            kwargs["text_embeds"] = text_embeds
+        return self.VD.apply(
+            {"params": vd_params, "buffers": vd_buffers}, taps, **kwargs
+        )
+
     # --------------------------------------------------------------- d step
 
-    def _d_micro_loss(self, d_params, g_params, real_images, text_enc, key,
+    def _d_micro_loss(self, trainable, g_params, vd_buffers, frozen,
+                      real_images, text_enc, text_embeds, key,
                       *, apply_gp, calc_ms):
         ks = jax.random.split(key, 8)
         compute_dtype = self.D.dtype
+        d_params = trainable["d"]
 
         # fakes, no G grad (reference: :2294-2316)
         fake, fake_rgbs = self._generate(g_params, real_images, text_enc,
@@ -191,10 +248,26 @@ class TrainStepBuilder:
             return self._d_apply(d_params, aug, rgbs, text_enc, ks[4],
                                  calc_ms, True)
 
-        (fake_logits, fake_ms, _), fake_vjp = jax.vjp(d_on_fake, fake_aug)
-        (real_logits, real_ms, aux_losses), real_vjp = jax.vjp(
-            d_on_real, real_images
-        )
+        if apply_gp:
+            # R1 double-backward differentiates through these vjps — the
+            # pallas kernel's VJP is first-order only, so trace the
+            # GP-bearing applies on the XLA path
+            from gigagan_tpu.ops.adaptive_conv import pallas_disabled
+
+            with pallas_disabled():
+                (fake_logits, fake_ms, _), fake_vjp = jax.vjp(
+                    d_on_fake, fake_aug
+                )
+                (real_logits, real_ms, aux_losses), real_vjp = jax.vjp(
+                    d_on_real, real_images
+                )
+        else:
+            (fake_logits, fake_ms, _), fake_vjp = jax.vjp(
+                d_on_fake, fake_aug
+            )
+            (real_logits, real_ms, aux_losses), real_vjp = jax.vjp(
+                d_on_real, real_images
+            )
 
         divergence = L.discriminator_hinge_loss(real_logits, fake_logits)
         total = divergence
@@ -219,23 +292,43 @@ class TrainStepBuilder:
 
             gp_loss = penalty(real_vjp, real_logits, real_ms, aux_losses) + \
                 penalty(fake_vjp, fake_logits, fake_ms, [])
-            total = total + gp_loss
 
         aux_loss = jnp.asarray(0.0)
         if self.aux_w > 0.0 and len(aux_losses) > 0:
             aux_loss = sum(aux_losses)
             total = total + aux_loss * self.aux_w
 
-        # vision-aided discriminator (hinge on frozen-CLIP feature taps)
+        # vision-aided discriminator: hinge on frozen-CLIP feature taps
+        # (reference: :2381-2405), GP w.r.t. the taps themselves
         vd_div = jnp.asarray(0.0)
         if self.need_vd:
-            vd_div, vd_gp = self._vd_divergence(
-                d_params, fake, real_images, text_enc, ks[5],
-                apply_gp=apply_gp,
+            vd_params = trainable["vd"]
+            clip_params = frozen["clip"]
+
+            def vd_on_taps(taps):
+                return self._vd_apply(vd_params, vd_buffers, taps,
+                                      text_embeds)
+
+            real_taps = self._clip_taps(clip_params, real_images)
+            (real_vd_logits, vd_vjp) = jax.vjp(vd_on_taps, real_taps)
+            fake_vd_logits = vd_on_taps(
+                self._clip_taps(clip_params, fake_aug)
             )
+            for fr, fk in zip(real_vd_logits, fake_vd_logits):
+                vd_div = vd_div + L.discriminator_hinge_loss(fr, fk)
             total = total + vd_div * self.vd_w
-            gp_loss = gp_loss + vd_gp
-            total = total + vd_gp
+
+            if apply_gp:
+                cot = [jnp.ones_like(t) * self.vd_w for t in real_vd_logits]
+                (tap_grads,) = vd_vjp(cot)
+                # per-sample norm (taps are (L, b, n, d))
+                g = jnp.moveaxis(tap_grads, 1, 0)
+                g = g.reshape(g.shape[0], -1).astype(jnp.float32)
+                norm = jnp.sqrt(jnp.sum(g * g, axis=1) + 1e-12)
+                gp_loss = gp_loss + 10.0 * jnp.mean(norm ** 2)
+
+        if apply_gp:
+            total = total + gp_loss
 
         # matching-aware loss: mismatched (image, text) pairs via roll
         # (fixes reference defect §2.3 #2 — accumulated per microbatch)
@@ -263,23 +356,20 @@ class TrainStepBuilder:
         )
         return total, metrics
 
-    def _vd_divergence(self, d_params, fake, real, text_enc, key,
-                       *, apply_gp):
-        # wired up once the CLIP tower lands; see models/vision_aided.py
-        raise NotImplementedError
-
     def d_step_fn(self, *, grad_accum_every: int, apply_gp: bool,
                   calc_ms: bool):
-        """Returns jitted d_step(state, batch, key) for this static config."""
+        """Returns jitted d_step(state, batch, key, frozen) for this static
+        config."""
         cache_key = (grad_accum_every, apply_gp, calc_ms)
         if cache_key in self._d_cache:
             return self._d_cache[cache_key]
 
-        def step(state: GANState, batch, key):
+        def step(state: GANState, batch, key, frozen):
             # batch arrays are (grad_accum, microbatch, ...): the microbatch
             # axis carries the data sharding; scan walks the accum axis
             real = batch["real_images"]
             text = batch.get("text_encodings")
+            embeds = batch.get("text_embeds")
             accum = grad_accum_every
             assert real.shape[0] == accum, (
                 f"batch leading dim {real.shape[0]} != grad_accum {accum}"
@@ -288,7 +378,14 @@ class TrainStepBuilder:
             text_stack = (
                 text if exists(text) else jnp.zeros((accum, mb, 0))
             )
+            embed_stack = (
+                embeds if exists(embeds) else jnp.zeros((accum, mb, 0))
+            )
             keys = jax.random.split(key, accum)
+
+            trainable = {"d": state.d_params}
+            if self.need_vd:
+                trainable["vd"] = state.vd_params
 
             loss_fn = functools.partial(
                 self._d_micro_loss, apply_gp=apply_gp, calc_ms=calc_ms
@@ -297,10 +394,12 @@ class TrainStepBuilder:
 
             def body(carry, inp):
                 grads_acc, metrics_acc = carry
-                r, t, k = inp
+                r, t, e, k = inp
                 t = t if not self.unconditional else None
+                e = e if self.need_vd or self.need_contrastive else None
                 (_, metrics), grads = grad_fn(
-                    state.d_params, state.g_params, r, t, k
+                    trainable, state.g_params, state.vd_buffers,
+                    frozen, r, t, e, k,
                 )
                 metrics = jax.tree.map(
                     lambda a, m: a + m / accum, metrics_acc, metrics
@@ -315,15 +414,26 @@ class TrainStepBuilder:
             zero_metrics = jax.tree.map(jnp.asarray, zero_metrics)
             (grads, metrics), _ = lax.scan(
                 body,
-                (_tree_zeros_like(state.d_params), zero_metrics),
-                (real, text_stack, keys),
+                (_tree_zeros_like(trainable), zero_metrics),
+                (real, text_stack, embed_stack, keys),
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
+
             updates, d_opt = self.d_tx.update(
-                grads, state.d_opt, state.d_params
+                grads["d"], state.d_opt, state.d_params
             )
             d_params = optax.apply_updates(state.d_params, updates)
             new_state = state.replace(d_params=d_params, d_opt=d_opt)
+
+            if self.need_vd:
+                vd_updates, vd_opt = self.vd_tx.update(
+                    grads["vd"], state.vd_opt, state.vd_params
+                )
+                vd_params = optax.apply_updates(state.vd_params, vd_updates)
+                new_state = new_state.replace(
+                    vd_params=vd_params, vd_opt=vd_opt
+                )
+
             return new_state, metrics
 
         jitted = jax.jit(step, donate_argnums=(0,))
@@ -332,7 +442,8 @@ class TrainStepBuilder:
 
     # --------------------------------------------------------------- g step
 
-    def _g_micro_loss(self, g_params, d_params, real_images, text_enc, key,
+    def _g_micro_loss(self, g_params, d_params, vd_params, vd_buffers,
+                      frozen, real_images, text_enc, text_embeds, key,
                       *, calc_ms):
         ks = jax.random.split(key, 4)
 
@@ -357,12 +468,20 @@ class TrainStepBuilder:
 
         vd_div = jnp.asarray(0.0)
         if self.need_vd:
-            vd_div = self._vd_generator_loss(fake_aug, text_enc, ks[3])
+            taps = self._clip_taps(frozen["clip"], fake_aug)
+            vd_logits = self._vd_apply(vd_params, vd_buffers, taps,
+                                       text_embeds)
+            for logit in vd_logits:
+                vd_div = vd_div + L.generator_hinge_loss(logit)
             total = total + vd_div * self.vd_w
 
         contrastive = jnp.asarray(0.0)
         if self.need_contrastive:
-            contrastive = self._contrastive_loss(fake, text_enc)
+            image_embeds = self._clip_image_embed(frozen["clip"], fake_aug)
+            logit_scale = jnp.exp(frozen["clip"]["logit_scale"])
+            contrastive = L.clip_contrastive_loss(
+                image_embeds, text_embeds, logit_scale
+            )
             total = total + contrastive * self.contrastive_w
 
         metrics = dict(
@@ -373,29 +492,23 @@ class TrainStepBuilder:
         )
         return total, metrics
 
-    def _vd_generator_loss(self, fake, text_enc, key):
-        raise NotImplementedError
-
-    def _contrastive_loss(self, fake, text_enc):
-        raise NotImplementedError
-
     def g_step_fn(self, *, grad_accum_every: int, calc_ms: bool):
         cache_key = (grad_accum_every, calc_ms)
         if cache_key in self._g_cache:
             return self._g_cache[cache_key]
 
-        def step(state: GANState, batch, key):
-            # batch arrays are (grad_accum, microbatch, ...): the microbatch
-            # axis carries the data sharding; scan walks the accum axis
+        def step(state: GANState, batch, key, frozen):
             real = batch["real_images"]
             text = batch.get("text_encodings")
+            embeds = batch.get("text_embeds")
             accum = grad_accum_every
-            assert real.shape[0] == accum, (
-                f"batch leading dim {real.shape[0]} != grad_accum {accum}"
-            )
+            assert real.shape[0] == accum
             mb = real.shape[1]
             text_stack = (
                 text if exists(text) else jnp.zeros((accum, mb, 0))
+            )
+            embed_stack = (
+                embeds if exists(embeds) else jnp.zeros((accum, mb, 0))
             )
             keys = jax.random.split(key, accum)
 
@@ -404,10 +517,12 @@ class TrainStepBuilder:
 
             def body(carry, inp):
                 grads_acc, metrics_acc = carry
-                r, t, k = inp
+                r, t, e, k = inp
                 t = t if not self.unconditional else None
+                e = e if self.need_vd or self.need_contrastive else None
                 (_, metrics), grads = grad_fn(
-                    state.g_params, state.d_params, r, t, k
+                    state.g_params, state.d_params, state.vd_params,
+                    state.vd_buffers, frozen, r, t, e, k,
                 )
                 metrics = jax.tree.map(
                     lambda a, m: a + m / accum, metrics_acc, metrics
@@ -422,7 +537,7 @@ class TrainStepBuilder:
             (grads, metrics), _ = lax.scan(
                 body,
                 (_tree_zeros_like(state.g_params), zero_metrics),
-                (real, text_stack, keys),
+                (real, text_stack, embed_stack, keys),
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
             updates, g_opt = self.g_tx.update(

@@ -45,7 +45,13 @@ from gigagan_tpu.models.generator import BaseGenerator
 from gigagan_tpu.train.ema import EMAState
 from gigagan_tpu.train.optimizer import get_optimizer
 from gigagan_tpu.train.steps import GANState, TrainStepBuilder
+
+
+def real_batch_size(batch) -> int:
+    r = batch["real_images"]
+    return int(r.shape[0] * r.shape[1])
 from gigagan_tpu.utils import cycle, default, divisible_by, exists
+from gigagan_tpu.utils.profiling import StepTimer, trace
 
 
 def _promote(value, klass, **extra):
@@ -160,6 +166,11 @@ class GigaGAN:
                                   betas=betas)
         self.d_tx = get_optimizer(lr=learning_rate, wd=weight_decay,
                                   betas=betas)
+        self.vd_tx = (
+            get_optimizer(lr=learning_rate, wd=weight_decay, betas=betas)
+            if exists(self.VD)
+            else None
+        )
 
         # mesh + state init
         self.mesh = default(mesh, parallel.make_data_mesh())
@@ -173,6 +184,7 @@ class GigaGAN:
             self.g_tx,
             self.d_tx,
             vision_aided_discriminator=self.VD,
+            vd_tx=self.vd_tx,
             clip=clip,
             train_upsampler=train_upsampler,
             input_image_size=(
@@ -298,6 +310,34 @@ class GigaGAN:
 
         d_params = jax.jit(init_d)(k_params, k_drop)
 
+        vd_params = vd_buffers = vd_opt = None
+        if exists(self.VD):
+            assert exists(self.clip), (
+                "a CLIP adapter (clip=...) is required for the "
+                "vision-aided discriminator"
+            )
+            taps = jnp.zeros(
+                (
+                    self.clip.config.vision_layers,
+                    1,
+                    1 + (self.clip.image_size // self.clip.config.patch_size)
+                    ** 2,
+                    self.clip._dim_image_latent,
+                ),
+                self.VD.dtype,
+            )
+            vd_kwargs = {}
+            if not self.VD.unconditional:
+                vd_kwargs["text_embeds"] = jnp.zeros(
+                    (1, self.clip.dim_latent), self.VD.dtype
+                )
+            vd_vars = jax.jit(
+                lambda k: self.VD.init({"params": k}, taps, **vd_kwargs)
+            )(jax.random.split(self._next_key())[0])
+            vd_params = vd_vars["params"]
+            vd_buffers = vd_vars.get("buffers", {})
+            vd_opt = self.vd_tx.init(vd_params)
+
         state = GANState(
             g_params=g_params,
             d_params=d_params,
@@ -305,8 +345,17 @@ class GigaGAN:
             d_opt=self.d_tx.init(d_params),
             ema=EMAState.create(g_params) if create_ema else None,
             steps=jnp.asarray(1, jnp.int32),
+            vd_params=vd_params,
+            vd_buffers=vd_buffers,
+            vd_opt=vd_opt,
         )
         self.state = parallel.replicate(state, self.mesh)
+
+        # frozen (non-trainable, non-donated) params for the jitted steps
+        frozen = {}
+        if exists(self.clip) and hasattr(self.clip, "params"):
+            frozen["clip"] = self.clip.params
+        self._frozen = parallel.replicate(frozen, self.mesh)
 
     def create_ema_generator(self, update_every=10, update_after_step=100,
                              decay=0.995):
@@ -338,10 +387,17 @@ class GigaGAN:
         _, encodings = self.clip.embed_texts(texts)
         return encodings
 
+    def _embed_texts_full(self, texts):
+        """(global embed, token encodings); embed is None without CLIP."""
+        assert exists(self.clip), (
+            "a CLIP adapter must be attached (clip=...) to embed raw texts"
+        )
+        return self.clip.embed_texts(texts)
+
     def _collect_batch(self, dl_iter, grad_accum_every):
         """Pull grad_accum_every microbatches and stack them into one device
         batch of shape (accum*mb, ...)."""
-        images, encodings = [], []
+        images, encodings, embeds = [], [], []
         for _ in range(grad_accum_every):
             result = next(dl_iter)
             if self.unconditional:
@@ -355,7 +411,10 @@ class GigaGAN:
                 if isinstance(texts, (list, tuple)) and len(texts) and (
                     isinstance(texts[0], str)
                 ):
-                    encodings.append(np.asarray(self.embed_texts(texts)))
+                    embed, enc = self._embed_texts_full(texts)
+                    encodings.append(np.asarray(enc))
+                    if exists(embed):
+                        embeds.append(np.asarray(embed))
                 else:
                     encodings.append(np.asarray(texts))
             images.append(np.asarray(real))
@@ -364,6 +423,8 @@ class GigaGAN:
         batch = {"real_images": np.stack(images, axis=0)}
         if encodings:
             batch["text_encodings"] = np.stack(encodings, axis=0)
+        if embeds:
+            batch["text_embeds"] = np.stack(embeds, axis=0)
         from jax.sharding import PartitionSpec as P
 
         return parallel.shard_batch(batch, self.mesh, P(None, "data"))
@@ -377,7 +438,9 @@ class GigaGAN:
             apply_gp=apply_gradient_penalty,
             calc_ms=calc_multiscale_loss,
         )
-        self.state, metrics = step(self.state, batch, self._next_key())
+        self.state, metrics = step(
+            self.state, batch, self._next_key(), self._frozen
+        )
         return metrics
 
     def train_generator_step(self, batch, *, grad_accum_every,
@@ -386,7 +449,9 @@ class GigaGAN:
             grad_accum_every=grad_accum_every,
             calc_ms=calc_multiscale_loss,
         )
-        self.state, metrics = step(self.state, batch, self._next_key())
+        self.state, metrics = step(
+            self.state, batch, self._next_key(), self._frozen
+        )
         return metrics
 
     def __call__(self, *, steps: int, grad_accum_every: int = 1):
@@ -400,10 +465,12 @@ class GigaGAN:
         dl_iter = cycle(self.train_dl)
 
         last = dict(gp=0.0, msd=0.0, msg=0.0)
+        self.step_timer = StepTimer()
 
         for _ in range(steps):
             step = self.steps
             is_first = step == 1
+            self.step_timer.start()
 
             apply_gp = self.apply_gradient_penalty_every > 0 and divisible_by(
                 step, self.apply_gradient_penalty_every
@@ -431,6 +498,9 @@ class GigaGAN:
                 calc_multiscale_loss=calc_ms,
             )
 
+            jax.block_until_ready(g_metrics)
+            self.step_timer.stop()
+
             if is_first or divisible_by(step, self.log_steps_every):
                 d = jax.device_get(d_metrics)
                 g = jax.device_get(g_metrics)
@@ -454,6 +524,7 @@ class GigaGAN:
                 self.print(
                     f"step {step}: "
                     + " | ".join(f"{k}: {v:.2f}" for k, v in pairs)
+                    + f" | {self.step_timer.summary(real_batch_size(d_batch))}"
                 )
 
             if self.is_main and (

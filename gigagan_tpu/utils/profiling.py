@@ -1,0 +1,58 @@
+"""Tracing / profiling hooks.
+
+The reference has no tracing at all (SURVEY.md §5: only tqdm progress).
+Here: `jax.profiler` trace capture around training-step windows plus a
+light-weight per-step wall-clock tracker the trainer logs from.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace (TensorBoard/Perfetto readable) for the
+    enclosed steps."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling wall-clock stats over recent steps."""
+
+    def __init__(self, window: int = 50):
+        self.times = deque(maxlen=window)
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self):
+        if self._t0 is not None:
+            self.times.append(time.perf_counter() - self._t0)
+            self._t0 = None
+
+    @property
+    def mean_s(self) -> float:
+        return sum(self.times) / len(self.times) if self.times else 0.0
+
+    def images_per_sec(self, batch_size: int) -> float:
+        mean = self.mean_s
+        return batch_size / mean if mean > 0 else 0.0
+
+    def summary(self, batch_size: Optional[int] = None) -> str:
+        if not self.times:
+            return "no steps timed"
+        msg = f"{self.mean_s * 1e3:.1f} ms/step"
+        if batch_size:
+            msg += f" ({self.images_per_sec(batch_size):.2f} img/s)"
+        return msg

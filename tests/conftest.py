@@ -13,7 +13,12 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    # 8 virtual devices to exercise sharding/collectives without TPUs
+    + " --xla_force_host_platform_device_count=8"
+    # tests are compile-bound on this 1-core box; skip XLA optimization
+    # passes (correctness-neutral, ~3x faster suite)
+    + " --xla_backend_optimization_level=0"
 )
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]

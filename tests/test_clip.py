@@ -1,0 +1,285 @@
+"""CLIP tower, tokenizer, adapter, weight-port mapping, and
+vision-aided-discriminator tests.  Uses a tiny CLIP config so the CPU rig
+stays fast; architecture identical to ViT-B/32 modulo widths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gigagan_tpu.models.clip import (
+    EOT_ID,
+    SOT_ID,
+    CLIPConfig,
+    CLIPModel,
+    HashTokenizer,
+    OpenClipAdapter,
+    map_open_clip_state_dict,
+)
+from gigagan_tpu.models.vision_aided import VisionAidedDiscriminator
+
+TINY = CLIPConfig(
+    embed_dim=16,
+    image_size=32,
+    patch_size=8,
+    vision_width=24,
+    vision_layers=2,
+    vision_heads=2,
+    context_length=12,
+    vocab_size=49408,
+    text_width=16,
+    text_layers=2,
+    text_heads=2,
+)
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    return OpenClipAdapter(name=TINY, seed=0)
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_contract(self):
+        tok = HashTokenizer(context_length=12)
+        ids = tok(["a cat", "a cat", "a dog and a very long caption " * 5])
+        assert ids.shape == (3, 12)
+        assert (ids[:, 0] == SOT_ID).all()
+        np.testing.assert_array_equal(ids[0], ids[1])  # deterministic
+        assert EOT_ID in ids[2]  # truncated but terminated
+        assert ids[0][4] == 0  # padded (sot, a, cat, eot, pad...)
+
+    def test_different_texts_differ(self):
+        tok = HashTokenizer(context_length=12)
+        a, b = tok(["red bird"]), tok(["blue fish"])
+        assert not np.array_equal(a, b)
+
+
+class TestCLIPModel:
+    def test_shapes_and_taps(self, adapter):
+        imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        embed, taps = adapter.embed_images(imgs)
+        assert embed.shape == (2, 16)
+        np.testing.assert_allclose(
+            np.linalg.norm(embed, axis=-1), 1.0, rtol=1e-4
+        )
+        # taps: (layers, b, 1 + (32/8)^2, width)
+        assert taps.shape == (2, 2, 17, 24)
+
+    def test_text_embedding_and_masking(self, adapter):
+        embed, encodings = adapter.embed_texts(["a cat", "a dog on a mat"])
+        assert embed.shape == (2, 16)
+        assert encodings.shape == (2, 12, 16)
+        np.testing.assert_allclose(
+            np.linalg.norm(embed, axis=-1), 1.0, rtol=1e-4
+        )
+        # encodings past EOS must be zero-masked (reference
+        # open_clip.py:118-121); 'a cat' = sot + 2 + eot = 4 tokens
+        assert np.abs(encodings[0, 4:]).sum() == 0
+        assert np.abs(encodings[0, :4]).sum() > 0
+
+    def test_text_mask_from_ids(self, adapter):
+        ids = jnp.array([[SOT_ID, 5, 9, EOT_ID, 0, 0]])
+        mask = adapter.text_mask_from_ids(ids)
+        np.testing.assert_array_equal(
+            np.asarray(mask[0]), [True, True, True, True, False, False]
+        )
+
+    def test_contrastive_loss_runs(self, adapter):
+        imgs = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 3))
+        loss = adapter.contrastive_loss(imgs, texts=["a", "b", "c", "d"])
+        assert np.isfinite(float(loss))
+
+    def test_resizes_input_images(self, adapter):
+        imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        embed, _ = adapter.embed_images(imgs)
+        assert embed.shape == (2, 16)
+
+
+class TestWeightPort:
+    def test_torch_state_dict_maps_and_loads(self):
+        """Build a synthetic open_clip-style torch state dict with the tiny
+        config's shapes, map it, and run a forward — validates every name
+        and transpose in the mapping."""
+        torch = pytest.importorskip("torch")
+        cfg = TINY
+        sd = {}
+
+        def addblock(prefix, width):
+            sd[f"{prefix}.ln_1.weight"] = torch.ones(width)
+            sd[f"{prefix}.ln_1.bias"] = torch.zeros(width)
+            sd[f"{prefix}.ln_2.weight"] = torch.ones(width)
+            sd[f"{prefix}.ln_2.bias"] = torch.zeros(width)
+            sd[f"{prefix}.attn.in_proj_weight"] = torch.randn(3 * width,
+                                                              width)
+            sd[f"{prefix}.attn.in_proj_bias"] = torch.randn(3 * width)
+            sd[f"{prefix}.attn.out_proj.weight"] = torch.randn(width, width)
+            sd[f"{prefix}.attn.out_proj.bias"] = torch.randn(width)
+            sd[f"{prefix}.mlp.c_fc.weight"] = torch.randn(4 * width, width)
+            sd[f"{prefix}.mlp.c_fc.bias"] = torch.randn(4 * width)
+            sd[f"{prefix}.mlp.c_proj.weight"] = torch.randn(width, 4 * width)
+            sd[f"{prefix}.mlp.c_proj.bias"] = torch.randn(width)
+
+        sd["visual.conv1.weight"] = torch.randn(
+            cfg.vision_width, 3, cfg.patch_size, cfg.patch_size
+        )
+        sd["visual.class_embedding"] = torch.randn(cfg.vision_width)
+        n_pos = 1 + (cfg.image_size // cfg.patch_size) ** 2
+        sd["visual.positional_embedding"] = torch.randn(n_pos,
+                                                        cfg.vision_width)
+        sd["visual.ln_pre.weight"] = torch.ones(cfg.vision_width)
+        sd["visual.ln_pre.bias"] = torch.zeros(cfg.vision_width)
+        sd["visual.ln_post.weight"] = torch.ones(cfg.vision_width)
+        sd["visual.ln_post.bias"] = torch.zeros(cfg.vision_width)
+        sd["visual.proj"] = torch.randn(cfg.vision_width, cfg.embed_dim)
+        for i in range(cfg.vision_layers):
+            addblock(f"visual.transformer.resblocks.{i}", cfg.vision_width)
+
+        sd["token_embedding.weight"] = torch.randn(cfg.vocab_size,
+                                                   cfg.text_width)
+        sd["positional_embedding"] = torch.randn(cfg.context_length,
+                                                 cfg.text_width)
+        sd["ln_final.weight"] = torch.ones(cfg.text_width)
+        sd["ln_final.bias"] = torch.zeros(cfg.text_width)
+        sd["text_projection"] = torch.randn(cfg.text_width, cfg.embed_dim)
+        for i in range(cfg.text_layers):
+            addblock(f"transformer.resblocks.{i}", cfg.text_width)
+        sd["logit_scale"] = torch.tensor(2.6593)
+
+        np_sd = {k: v.float().numpy() for k, v in sd.items()}
+        params = map_open_clip_state_dict(np_sd, cfg)
+
+        # the mapped tree must be accepted verbatim by the flax model
+        model = CLIPModel(cfg)
+        imgs = jnp.zeros((1, 32, 32, 3))
+        ids = jnp.array([[SOT_ID, 5, EOT_ID] + [0] * 9])
+        ref = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), imgs, ids)["params"]
+        )
+        mapped_shapes = jax.tree.map(lambda x: jnp.shape(x), params)
+        ref_shapes = jax.tree.map(lambda x: x.shape, ref)
+        assert jax.tree.structure(mapped_shapes) == jax.tree.structure(
+            ref_shapes
+        )
+        assert mapped_shapes == ref_shapes
+
+        out_img, out_txt, scale = model.apply(
+            {"params": jax.tree.map(jnp.asarray, params)}, imgs, ids
+        )
+        assert out_img.shape == (1, 16) and out_txt.shape == (1, 16)
+        assert np.isfinite(np.asarray(out_img)).all()
+
+
+class TestVisionAidedDiscriminator:
+    def test_unconditional(self, adapter):
+        vd = VisionAidedDiscriminator(
+            clip_image_dim=24, clip_text_dim=16, layer_indices=(-1, -2),
+            conv_dim=24, unconditional=True,
+        )
+        imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        _, taps = adapter.embed_images(imgs)
+        variables = vd.init({"params": jax.random.PRNGKey(1)}, taps)
+        logits = vd.apply(variables, taps)
+        assert len(logits) == 2
+        assert all(l.shape == (2, 4, 4) for l in logits)
+
+    def test_conditional(self, adapter):
+        vd = VisionAidedDiscriminator(
+            clip_image_dim=24, clip_text_dim=16, layer_indices=(-1,),
+            conv_dim=24, unconditional=False, num_conv_kernels=2,
+        )
+        imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        _, taps = adapter.embed_images(imgs)
+        text_embeds, _ = adapter.embed_texts(["a", "b"])
+        variables = vd.init(
+            {"params": jax.random.PRNGKey(1)}, taps, text_embeds=text_embeds
+        )
+        logits = vd.apply(variables, taps, text_embeds=text_embeds)
+        assert len(logits) == 1 and logits[0].shape == (2, 4, 4)
+        # the random projection is a buffer, not a param
+        assert "buffers" in variables
+        flat = jax.tree.leaves(variables["buffers"])
+        assert len(flat) == 1 and flat[0].shape == (24, 24)
+
+
+class TestFullConditionalTraining:
+    def test_all_losses_live(self, adapter, tmp_path):
+        """The complete conditional loss surface in one training step:
+        hinge + multiscale + GP + aux recon + matching-aware + vision-aided
+        (D and G) + CLIP contrastive."""
+        from gigagan_tpu.data import MockTextImageDataset
+        from gigagan_tpu.train import GigaGAN
+
+        gan = GigaGAN(
+            generator=dict(
+                image_size=16,
+                dim_capacity=4,
+                dim_max=32,
+                dim_latent=16,
+                style_network=dict(dim=16, depth=1, dim_text_latent=16),
+                text_encoder=dict(dim=16, depth=1, clip_dim=16),
+                self_attn_resolutions=(),
+                cross_attn_resolutions=(8,),
+                num_conv_kernels=2,
+                unconditional=False,
+            ),
+            discriminator=dict(
+                image_size=16,
+                dim_capacity=4,
+                dim_max=32,
+                attn_resolutions=(),
+                multiscale_input_resolutions=(8,),
+                aux_recon_resolutions=(8,),
+                aux_recon_patch_dims=(1,),
+                aux_recon_frac_patches=(1.0,),
+                num_conv_kernels=2,
+                unconditional=False,
+                text_encoder=dict(dim=16, depth=1, clip_dim=16),
+            ),
+            vision_aided_discriminator=dict(
+                clip_image_dim=24,
+                clip_text_dim=16,
+                layer_indices=(-1,),
+                conv_dim=24,
+                unconditional=False,
+                num_conv_kernels=2,
+            ),
+            clip=adapter,
+            apply_gradient_penalty_every=1,
+            model_folder=str(tmp_path / "models"),
+            results_folder=str(tmp_path / "results"),
+            log_steps_every=1000,
+            seed=0,
+        )
+        ds = MockTextImageDataset(16, length=32)
+        gan.set_dataloader(ds.get_dataloader(8))
+        gan.forward(steps=2, grad_accum_every=1)
+        assert gan.steps == 3
+
+        # every loss term must have fired and be finite
+        d = gan.train_discriminator_step(
+            gan._collect_batch(iter(
+                __import__("gigagan_tpu").utils.cycle(gan.train_dl)
+            ), 1),
+            grad_accum_every=1,
+            apply_gradient_penalty=True,
+            calc_multiscale_loss=True,
+        )
+        d = {k: float(v) for k, v in jax.device_get(d).items()}
+        assert np.isfinite(list(d.values())).all()
+        assert d["vision_aided_divergence"] != 0.0
+        assert d["matching_aware_loss"] != 0.0
+        assert d["gradient_penalty"] != 0.0
+        assert d["aux_reconstruction"] != 0.0
+
+        g = gan.train_generator_step(
+            gan._collect_batch(iter(
+                __import__("gigagan_tpu").utils.cycle(gan.train_dl)
+            ), 1),
+            grad_accum_every=1,
+            calc_multiscale_loss=True,
+        )
+        g = {k: float(v) for k, v in jax.device_get(g).items()}
+        assert np.isfinite(list(g.values())).all()
+        assert g["total_vd_divergence"] != 0.0
+        assert g["contrastive_loss"] != 0.0

@@ -1,0 +1,144 @@
+"""Pallas fused adaptive-conv kernel: interpret-mode parity against both the
+per-sample oracle and the XLA decomposition, forward and all four gradients.
+(The TPU-compiled path is exercised by bench.py / the verify drives.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigagan_tpu.ops.adaptive_conv import (
+    adaptive_conv,
+    adaptive_conv_reference,
+    demod_scale,
+)
+from gigagan_tpu.ops.pallas.adaptive_conv import fused_adaptive_conv2d
+
+
+def build_inputs(seed=0, b=3, h=8, w=8, ci=16, co=24, n=2):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    x = jax.random.normal(ks[0], (b, h, w, ci))
+    weights = jax.random.normal(ks[1], (n, 3, 3, ci, co)) * 0.2
+    mod = jax.random.normal(ks[2], (b, ci))
+    kmod = jax.random.normal(ks[3], (b, n))
+    return x, weights, mod, kmod
+
+
+def fused_inputs(x, weights, mod, kmod):
+    attn = jax.nn.softmax(kmod, -1)
+    scale_in = mod + 1.0
+    x_mod = x * scale_in[:, None, None, :]
+    demod = demod_scale(weights, scale_in, attn)
+    return x_mod, attn, demod
+
+
+class TestFusedForward:
+    def test_matches_reference(self):
+        x, weights, mod, kmod = build_inputs()
+        x_mod, attn, demod = fused_inputs(x, weights, mod, kmod)
+        out = fused_adaptive_conv2d(x_mod, weights, attn, demod, 128, True)
+        ref = adaptive_conv_reference(x, weights, mod, kmod)
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+    def test_via_adaptive_conv_flag(self):
+        x, weights, mod, kmod = build_inputs(seed=1)
+        out = adaptive_conv(x, weights, mod, kmod, use_pallas=True)
+        ref = adaptive_conv(x, weights, mod, kmod, use_pallas=False)
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+    def test_no_demod(self):
+        x, weights, mod, kmod = build_inputs(seed=2)
+        out = adaptive_conv(x, weights, mod, kmod, demod=False,
+                            use_pallas=True)
+        ref = adaptive_conv(x, weights, mod, kmod, demod=False,
+                            use_pallas=False)
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+    def test_single_bank(self):
+        x, weights, mod, _ = build_inputs(seed=3, n=1)
+        out = adaptive_conv(x, weights, mod, None, use_pallas=True)
+        ref = adaptive_conv(x, weights, mod, None, use_pallas=False)
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+    def test_wide_channels_tiled(self):
+        # co > co_tile exercises the output tiling path
+        x, weights, mod, kmod = build_inputs(seed=4, ci=8, co=160)
+        x_mod, attn, demod = fused_inputs(x, weights, mod, kmod)
+        out = fused_adaptive_conv2d(x_mod, weights, attn, demod, 128, True)
+        ref = adaptive_conv_reference(x, weights, mod, kmod)
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+
+class TestFusedGradients:
+    def test_all_grads_match_xla(self):
+        x, weights, mod, kmod = build_inputs(seed=5)
+        x_mod, attn, demod = fused_inputs(x, weights, mod, kmod)
+
+        def loss_fused(x_mod, weights, attn, demod):
+            return jnp.sum(
+                fused_adaptive_conv2d(x_mod, weights, attn, demod, 128,
+                                      True) ** 2
+            )
+
+        def loss_xla(x_mod, weights, attn, demod):
+            n, _, _, ci, co = weights.shape
+            b, h, w, _ = x_mod.shape
+            outs = jax.lax.conv_general_dilated(
+                x_mod,
+                jnp.moveaxis(weights, 0, -2).reshape(3, 3, ci, n * co),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(b, h, w, n, co)
+            mixed = jnp.einsum("bn,bhwno->bhwo", attn, outs)
+            return jnp.sum((mixed * demod[:, None, None, :]) ** 2)
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+            x_mod, weights, attn, demod
+        )
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(
+            x_mod, weights, attn, demod
+        )
+        for name, a, b_ in zip(("dx", "dw", "da", "dd"), g_f, g_x):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=1e-4, atol=1e-4,
+                err_msg=f"gradient {name} mismatch",
+            )
+
+    def test_grad_through_full_op(self):
+        """End-to-end: jax.grad through adaptive_conv(use_pallas=True) must
+        match use_pallas=False including the mod/demod chain rules."""
+        x, weights, mod, kmod = build_inputs(seed=6)
+
+        def loss(use_pallas):
+            def f(x, w, m, km):
+                return jnp.sum(
+                    adaptive_conv(x, w, m, km, use_pallas=use_pallas) ** 2
+                )
+            return f
+
+        g_p = jax.grad(loss(True), argnums=(0, 1, 2, 3))(
+            x, weights, mod, kmod
+        )
+        g_x = jax.grad(loss(False), argnums=(0, 1, 2, 3))(
+            x, weights, mod, kmod
+        )
+        for name, a, b_ in zip(("dx", "dw", "dmod", "dkmod"), g_p, g_x):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
+                err_msg=f"gradient {name} mismatch",
+            )
+
+
+class TestL2NormStability:
+    def test_zero_row_backward_is_finite(self):
+        """sqrt(0) gradient regression: zero-masked token rows must not NaN
+        the backward (seen as the step-1 bf16 NaN in conditional training)."""
+        from gigagan_tpu.models.layers import l2norm
+
+        x = jnp.zeros((4, 8), jnp.bfloat16).at[0].set(1.0)
+        g = jax.grad(
+            lambda t: jnp.sum(l2norm(t).astype(jnp.float32) ** 2)
+        )(x)
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
