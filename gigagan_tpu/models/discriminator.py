@@ -138,6 +138,41 @@ class Predictor(nn.Module):
         return conv1x1(1, dtype=self.dtype, name="to_logits")(x)
 
 
+class DStageCore(nn.Module):
+    """The remat-able heart of one discriminator stage: residual 1x1 conv +
+    two 3x3 convs + optional self-attention.  Wrapped with nn.remat when
+    `remat_stages` so the R1 double-backward recomputes stage-by-stage
+    instead of holding every activation (HBM is the binding constraint)."""
+
+    dim_out: int
+    downsample: bool
+    has_attn: bool
+    attn_heads: int = 8
+    attn_dim_head: int = 64
+    ff_mult: int = 4
+    dot_product: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = nn.Conv(
+            self.dim_out, (1, 1),
+            strides=(2, 2) if self.downsample else (1, 1),
+            kernel_init=KAIMING_CONV, dtype=self.dtype, name="residual_conv",
+        )(x)
+        x = conv3x3(self.dim_out, dtype=self.dtype, name="conv_block1")(x)
+        x = leaky_relu(x)
+        x = conv3x3(self.dim_out, dtype=self.dtype, name="conv_block2")(x)
+        x = leaky_relu(x)
+        if self.has_attn:
+            x = SelfAttentionBlock(
+                self.dim_out, heads=self.attn_heads,
+                dim_head=self.attn_dim_head, ff_mult=self.ff_mult,
+                dot_product=self.dot_product, dtype=self.dtype, name="attn",
+            )(x)
+        return x, residual
+
+
 class Discriminator(nn.Module):
     image_size: int
     dim_capacity: int = 16
@@ -162,6 +197,7 @@ class Discriminator(nn.Module):
     num_skip_layers_excite: int = 0
     unconditional: bool = False
     predictor_depth: int = 2
+    remat_stages: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -284,6 +320,9 @@ class Discriminator(nn.Module):
                     dtype=self.dtype,
                 )
 
+            core_klass = (
+                nn.remat(DStageCore) if self.remat_stages else DStageCore
+            )
             stages.append(dict(
                 resolution=resolution,
                 has_multiscale_input=resolution in ms_input,
@@ -292,20 +331,16 @@ class Discriminator(nn.Module):
                     dim_in, (7, 7), padding="SAME",
                     kernel_init=KAIMING_CONV, dtype=self.dtype,
                 ),
-                conv_block1=conv3x3(dim_out, dtype=self.dtype),
-                conv_block2=conv3x3(dim_out, dtype=self.dtype),
-                residual_conv=nn.Conv(
-                    dim_out, (1, 1),
-                    strides=(2, 2) if should_downsample else (1, 1),
-                    kernel_init=KAIMING_CONV, dtype=self.dtype,
+                core=core_klass(
+                    dim_out,
+                    downsample=should_downsample,
+                    has_attn=has_attn,
+                    attn_heads=self.attn_heads,
+                    attn_dim_head=self.attn_dim_head,
+                    ff_mult=self.ff_mult,
+                    dot_product=self.self_attn_dot_product,
+                    dtype=self.dtype,
                 ),
-                attn=SelfAttentionBlock(
-                    dim_out, heads=self.attn_heads,
-                    dim_head=self.attn_dim_head, ff_mult=self.ff_mult,
-                    dot_product=self.self_attn_dot_product, dtype=self.dtype,
-                )
-                if has_attn
-                else None,
                 predictor=predictor,
                 recon_decoder=recon_decoder,
                 downsample=Downsample(dim_out, dtype=self.dtype)
@@ -346,8 +381,12 @@ class Discriminator(nn.Module):
         text_embeds=None,
         return_multiscale_outputs: bool = True,
         calc_aux_loss: bool = True,
+        aux_recon_samples: Optional[int] = None,
         deterministic: bool = False,
     ):
+        """aux_recon_samples: restrict the aux reconstruction loss to the
+        first N samples (the trainer batches [real; fake] into one call and
+        only reals carry the reconstruction target)."""
         if not self.unconditional:
             assert exists(text_encodings) ^ exists(text_embeds)
             if exists(text_encodings):
@@ -424,14 +463,7 @@ class Discriminator(nn.Module):
                 )
                 num_groups *= 2
 
-            residual = stage["residual_conv"](x)
-            x = stage["conv_block1"](x)
-            x = leaky_relu(x)
-            x = stage["conv_block2"](x)
-            x = leaky_relu(x)
-
-            if exists(stage["attn"]):
-                x = stage["attn"](x)
+            x, residual = stage["core"](x)
 
             if exists(stage["predictor"]):
                 mod = kernel_mod = None
@@ -453,9 +485,14 @@ class Discriminator(nn.Module):
 
             if exists(stage["recon_decoder"]) and calc_aux_loss:
                 # scale-group 0 rows = the original (unexpanded) batch
+                recon_rows = rows_of_first_groups(x, 1)
+                recon_target = images
+                if exists(aux_recon_samples):
+                    recon_rows = recon_rows[:aux_recon_samples]
+                    recon_target = recon_target[:aux_recon_samples]
                 aux_recon_losses.append(
                     stage["recon_decoder"](
-                        rows_of_first_groups(x, 1), images,
+                        recon_rows, recon_target,
                         deterministic=deterministic,
                     )
                 )

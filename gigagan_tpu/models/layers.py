@@ -81,6 +81,13 @@ class RMSNorm(nn.Module):
         return l2norm(x) * (scale * gamma).astype(x.dtype)
 
 
+class Blur(nn.Module):
+    """Binomial [1,2,1] blur module (reference: :246-255). Parameter-free."""
+
+    def __call__(self, x):
+        return ops.resample.blur_2d(x)
+
+
 class Upsample(nn.Module):
     """Bilinear 2x + binomial blur (reference: :257-261). Parameter-free."""
 

@@ -96,6 +96,7 @@ class TrainStepBuilder:
         matching_awareness_loss_weight: float = 0.1,
         diff_augment=None,
         ema_kwargs: Optional[dict] = None,
+        remat: bool = False,
     ):
         self.G = generator
         self.D = discriminator
@@ -112,6 +113,7 @@ class TrainStepBuilder:
         self.contrastive_w = generator_contrastive_loss_weight
         self.matching_w = matching_awareness_loss_weight
         self.diff_augment = diff_augment
+        self.remat = remat
         self.ema_kwargs = dict(ema_kwargs or {})
         self._d_cache = {}
         self._g_cache = {}
@@ -163,7 +165,7 @@ class TrainStepBuilder:
         )
 
     def _d_apply(self, d_params, images, rgbs, text_enc, key,
-                 return_ms, calc_aux):
+                 return_ms, calc_aux, aux_recon_samples=None):
         kwargs = {}
         if not self.unconditional:
             kwargs["text_encodings"] = text_enc
@@ -173,9 +175,20 @@ class TrainStepBuilder:
             rgbs,
             return_multiscale_outputs=return_ms,
             calc_aux_loss=calc_aux,
+            aux_recon_samples=aux_recon_samples,
             rngs={"dropout": key},
             **kwargs,
         )
+
+    @staticmethod
+    def _split_halves(logits, ms, b):
+        """Split a [real; fake]-batched D output back into halves.  Main
+        logits are (s, 2b) columns; multiscale maps are sample-major rows
+        (batch-major group layout keeps each half contiguous)."""
+        real_logits, fake_logits = logits[:, :b], logits[:, b:]
+        real_ms = [m[: m.shape[0] // 2] for m in ms]
+        fake_ms = [m[m.shape[0] // 2 :] for m in ms]
+        return real_logits, real_ms, fake_logits, fake_ms
 
     def _clip_taps(self, clip_params, images):
         """CLIP visual tap stack for images in [0,1] (grad flows through)."""
@@ -236,23 +249,52 @@ class TrainStepBuilder:
             return imgs, rgbs
 
         real_images = real_images.astype(compute_dtype)
+        b = real_images.shape[0]
 
-        # one vjp per branch: primal outputs + input-gradient closure reused
-        # for the penalty — the JAX equivalent of create_graph=True
-        def d_on_fake(imgs):
-            return self._d_apply(d_params, imgs, fake_rgbs_aug, text_enc,
-                                 ks[3], calc_ms, False)
+        # ONE batched D call for [real; fake]: halves the per-step launch
+        # count (the 256px step is op-overhead/bandwidth-bound, not
+        # MXU-bound); batch-major group layout keeps halves contiguous.
+        # One vjp gives the input-gradient closure for BOTH R1 penalties —
+        # the JAX equivalent of create_graph=True (reference :2357-2372).
+        ms_res = self.D.resolved_multiscale_input_resolutions
 
-        def d_on_real(imgs):
-            aug, rgbs = real_pipeline(imgs)
-            return self._d_apply(d_params, aug, rgbs, text_enc, ks[4],
-                                 calc_ms, True)
+        def pair_up(real_rgbs, fake_rgbs_list):
+            # reals carry exactly the multiscale resolutions; the generator
+            # pyramid has extras — pair per resolution
+            fake_idx = {t.shape[1]: t for t in fake_rgbs_list}
+            real_idx = {t.shape[1]: t for t in real_rgbs}
+            return [
+                jnp.concatenate((real_idx[r], fake_idx[r]), axis=0)
+                for r in ms_res
+            ]
 
+        def d_on_pair(real_imgs, fake_imgs):
+            aug, rgbs = real_pipeline(real_imgs)
+            images = jnp.concatenate((aug, fake_imgs), axis=0)
+            pair_rgbs = pair_up(rgbs, fake_rgbs_aug)
+            text = (
+                jnp.concatenate((text_enc, text_enc), axis=0)
+                if not self.unconditional else None
+            )
+            return self._d_apply(d_params, images, pair_rgbs, text, ks[3],
+                                 calc_ms, True, aux_recon_samples=b)
+
+        gp_loss = jnp.asarray(0.0)
         if apply_gp:
-            # R1 double-backward differentiates through these vjps — the
-            # pallas kernel's VJP is first-order only, so trace the
-            # GP-bearing applies on the XLA path
+            # GP steps: SEPARATE real/fake vjps — one combined 2b
+            # double-backward graph peaks over HBM at the quickstart scale.
+            # The pallas kernel's VJP is first-order only, so these trace
+            # on the XLA path.
             from gigagan_tpu.ops.adaptive_conv import pallas_disabled
+
+            def d_on_fake(imgs):
+                return self._d_apply(d_params, imgs, fake_rgbs_aug,
+                                     text_enc, ks[3], calc_ms, False)
+
+            def d_on_real(imgs):
+                aug, rgbs = real_pipeline(imgs)
+                return self._d_apply(d_params, aug, rgbs, text_enc, ks[4],
+                                     calc_ms, True)
 
             with pallas_disabled():
                 (fake_logits, fake_ms, _), fake_vjp = jax.vjp(
@@ -262,11 +304,13 @@ class TrainStepBuilder:
                     d_on_real, real_images
                 )
         else:
-            (fake_logits, fake_ms, _), fake_vjp = jax.vjp(
-                d_on_fake, fake_aug
+            # common path: ONE batched D call for [real; fake] halves the
+            # per-step launch count
+            (logits, ms, aux_losses), _ = jax.vjp(
+                d_on_pair, real_images, fake_aug
             )
-            (real_logits, real_ms, aux_losses), real_vjp = jax.vjp(
-                d_on_real, real_images
+            real_logits, real_ms, fake_logits, fake_ms = (
+                self._split_halves(logits, ms, b)
             )
 
         divergence = L.discriminator_hinge_loss(real_logits, fake_logits)
@@ -278,20 +322,19 @@ class TrainStepBuilder:
                 ms_div = ms_div + L.discriminator_hinge_loss(mr, mf)
             total = total + ms_div * self.ms_w
 
-        gp_loss = jnp.asarray(0.0)
         if apply_gp:
 
-            def penalty(vjp_fn, logits, ms_logits, aux):
-                cot_logits = jnp.ones_like(logits)
-                cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms_logits]
-                cot_aux = [jnp.zeros_like(a) for a in aux]
+            def penalty(vjp_fn, logits_, ms_, aux_):
+                cot_logits = jnp.ones_like(logits_)
+                cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms_]
+                cot_aux = [jnp.zeros_like(a) for a in aux_]
                 (grads,) = vjp_fn((cot_logits, cot_ms, cot_aux))
                 g = grads.reshape(grads.shape[0], -1).astype(jnp.float32)
                 norm = jnp.sqrt(jnp.sum(g * g, axis=1) + 1e-12)
                 return 10.0 * jnp.mean(norm ** 2)
 
-            gp_loss = penalty(real_vjp, real_logits, real_ms, aux_losses) + \
-                penalty(fake_vjp, fake_logits, fake_ms, [])
+            gp_loss = penalty(real_vjp, real_logits, real_ms, aux_losses) \
+                + penalty(fake_vjp, fake_logits, fake_ms, [])
 
         aux_loss = jnp.asarray(0.0)
         if self.aux_w > 0.0 and len(aux_losses) > 0:
@@ -335,15 +378,16 @@ class TrainStepBuilder:
         matching = jnp.asarray(0.0)
         if not self.unconditional and self.matching_w > 0.0:
             rolled = jnp.roll(text_enc, shift=1, axis=0)
-            m_fake, *_ = self._d_apply(
-                d_params, fake, fake_rgbs, rolled, ks[6], False, False
-            )
             real_rgbs_plain = self.D.real_images_to_rgbs(real_images)
-            m_real, *_ = self._d_apply(
-                d_params, real_images, real_rgbs_plain, rolled, ks[7],
-                False, False,
+            m_images = jnp.concatenate((real_images, fake), axis=0)
+            m_rgbs = pair_up(real_rgbs_plain, fake_rgbs)
+            m_text = jnp.concatenate((rolled, rolled), axis=0)
+            m_logits, *_ = self._d_apply(
+                d_params, m_images, m_rgbs, m_text, ks[6], False, False
             )
-            matching = L.aux_matching_loss(m_real, m_fake)
+            matching = L.aux_matching_loss(
+                m_logits[:, :b], m_logits[:, b:]
+            )
             total = total + matching * self.matching_w
 
         metrics = dict(
@@ -390,6 +434,11 @@ class TrainStepBuilder:
             loss_fn = functools.partial(
                 self._d_micro_loss, apply_gp=apply_gp, calc_ms=calc_ms
             )
+            if self.remat:
+                # recompute the microbatch forward during backward: HBM is
+                # the binding constraint (trade ~33% step FLOPs for 3-4x
+                # batch headroom)
+                loss_fn = jax.checkpoint(loss_fn)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
             def body(carry, inp):
@@ -513,6 +562,8 @@ class TrainStepBuilder:
             keys = jax.random.split(key, accum)
 
             loss_fn = functools.partial(self._g_micro_loss, calc_ms=calc_ms)
+            if self.remat:
+                loss_fn = jax.checkpoint(loss_fn)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
             def body(carry, inp):

@@ -94,6 +94,9 @@ class GigaGAN:
         amp: bool = False,
         mixed_precision_type: str = "bf16",
         clip=None,
+        remat: bool = False,  # recompute-in-backward; enable when the
+        # model/batch exceeds HBM (costs ~20% step time when memory fits)
+        checkpoint_backend: str = "msgpack",  # or "orbax"
         seed: int = 42,
         mesh=None,
     ):
@@ -202,6 +205,7 @@ class GigaGAN:
             ),
             matching_awareness_loss_weight=matching_awareness_loss_weight,
             diff_augment=diff_augment,
+            remat=remat,
         )
 
         # sampling / checkpointing
@@ -215,6 +219,9 @@ class GigaGAN:
             cycle(sample_upsampler_dl) if exists(sample_upsampler_dl)
             else None
         )
+
+        assert checkpoint_backend in ("msgpack", "orbax")
+        self.checkpoint_backend = checkpoint_backend
 
         self.results_folder = Path(results_folder)
         self.model_folder = Path(model_folder)
@@ -234,6 +241,16 @@ class GigaGAN:
     @staticmethod
     def _count(tree):
         return sum(x.size for x in jax.tree.leaves(tree))
+
+    @property
+    def total_params(self):
+        """Trainable params across G + D (+ VD heads)."""
+        n = self._count(self.state.g_params) + self._count(
+            self.state.d_params
+        )
+        if exists(self.state.vd_params):
+            n += self._count(self.state.vd_params)
+        return n
 
     def print(self, msg):
         if self.is_main:
@@ -546,10 +563,18 @@ class GigaGAN:
             return self.state.ema.params
         return self.state.g_params
 
-    def generate(self, *, batch_size: int = 4, styles=None, noise=None,
+    def generate(self, *args, batch_size: int = 4, styles=None, noise=None,
                  texts=None, text_encodings=None, lowres_image=None,
                  seed: Optional[int] = None, **kwargs):
-        """Sample from the (EMA) generator (reference: :2165-2169)."""
+        """Sample from the (EMA) generator (reference: :2165-2169).
+
+        Upsampler parity: `gan.generate(lowres)` positional works like the
+        reference (README.md:148)."""
+        if args:
+            assert len(args) == 1 and lowres_image is None and (
+                self.train_upsampler
+            ), "positional argument must be the lowres image (upsampler)"
+            lowres_image = args[0]
         if exists(texts):
             text_encodings = self.embed_texts(texts)
 
@@ -637,9 +662,25 @@ class GigaGAN:
     # -------------------------------------------------------- checkpointing
 
     def save(self, path, overwrite=True):
+        """Checkpoint the full train state (params, opt states, EMA, step)
+        — msgpack single file (reference-style torch.save dict,
+        :2033-2064) or an orbax directory (async-capable, multi-host
+        friendly)."""
         path = Path(path)
         path.parent.mkdir(exist_ok=True, parents=True)
         assert overwrite or not path.exists()
+        if self.checkpoint_backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            state = jax.device_get(self.state)
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(
+                    path.resolve(),
+                    serialization.to_state_dict(state),
+                    force=overwrite,
+                )
+            (path / "VERSION").write_text(gigagan_tpu.__version__)
+            return
         state = jax.device_get(self.state)
         payload = {
             "state": serialization.to_state_dict(state),
@@ -650,12 +691,29 @@ class GigaGAN:
     def load(self, path):
         path = Path(path)
         assert path.exists()
+        template = jax.device_get(self.state)
+        if self.checkpoint_backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            version_file = path / "VERSION"
+            if version_file.exists() and (
+                version_file.read_text() != gigagan_tpu.__version__
+            ):
+                self.print(
+                    f"trying to load from version "
+                    f"{version_file.read_text()}"
+                )
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(path.resolve())
+            restored.pop("VERSION", None)
+            state = serialization.from_state_dict(template, restored)
+            self.state = parallel.replicate(state, self.mesh)
+            return
         payload = serialization.msgpack_restore(path.read_bytes())
         if payload.get("version") != gigagan_tpu.__version__:
             self.print(
                 f"trying to load from version {payload.get('version')}"
             )
-        template = jax.device_get(self.state)
         state = serialization.from_state_dict(template, payload["state"])
         self.state = parallel.replicate(state, self.mesh)
 

@@ -273,7 +273,7 @@ class TestUpsamplerTraining:
             train_upsampler=True,
             generator=dict(
                 dim=8,
-                image_size=32,
+                image_size=16,
                 input_image_size=8,
                 dim_mults=(1, 2),
                 full_attn=(False, True),
@@ -285,11 +285,11 @@ class TestUpsamplerTraining:
                 style_network=dict(dim=16, depth=1),
             ),
             discriminator=dict(
-                image_size=32,
+                image_size=16,
                 dim_capacity=4,
                 dim_max=32,
                 attn_resolutions=(),
-                multiscale_input_resolutions=(16,),
+                multiscale_input_resolutions=(8,),
                 aux_recon_resolutions=(),
                 aux_recon_patch_dims=(),
                 aux_recon_frac_patches=(),
@@ -301,7 +301,7 @@ class TestUpsamplerTraining:
             log_steps_every=1000,
             seed=0,
         )
-        ds = MockImageDataset(32, length=64, seed=0)
+        ds = MockImageDataset(16, length=64, seed=0)
         gan.set_dataloader(ds.get_dataloader(8))
         gan.forward(steps=2, grad_accum_every=1)
         assert gan.steps == 3
@@ -309,8 +309,8 @@ class TestUpsamplerTraining:
         lowres = np.random.default_rng(0).random((2, 8, 8, 3)).astype(
             np.float32
         )
-        out = gan.generate(lowres_image=lowres, seed=5)
-        assert out.shape == (2, 32, 32, 3)
+        out = gan.generate(lowres, seed=5)  # positional lowres, ref parity
+        assert out.shape == (2, 16, 16, 3)
 
     def test_upsampler_rejects_bad_multiscale_res(self, tmp_path):
         with pytest.raises(AssertionError, match="multiscale input"):
@@ -333,3 +333,23 @@ class TestUpsamplerTraining:
                 model_folder=str(tmp_path / "m"),
                 results_folder=str(tmp_path / "r"),
             )
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        gan = tiny_gan(tmp_path, checkpoint_backend="orbax")
+        ds = MockImageDataset(IMAGE_SIZE, length=64, seed=0)
+        gan.set_dataloader(ds.get_dataloader(8))
+        gan.forward(steps=1, grad_accum_every=1)
+
+        ckpt = tmp_path / "orbax-ckpt"
+        gan.save(ckpt)
+        before = jax.device_get(gan.state.g_params)
+
+        gan2 = tiny_gan(tmp_path, checkpoint_backend="orbax", seed=9,
+                        model_folder=str(tmp_path / "m2"))
+        gan2.load(ckpt)
+        after = jax.device_get(gan2.state.g_params)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_allclose(a, b)
+        assert gan2.steps == gan.steps
