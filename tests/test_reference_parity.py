@@ -208,7 +208,7 @@ DIM_LATENT = 32
 STYLE_DIM = 16
 
 
-def build_reference_generator(ref):
+def build_reference_generator(ref, attn=()):
     torch.manual_seed(0)
     return ref.Generator(
         image_size=IMAGE_SIZE,
@@ -216,14 +216,16 @@ def build_reference_generator(ref):
         dim_max=64,
         dim_latent=DIM_LATENT,
         style_network=dict(dim=STYLE_DIM, depth=2),
-        self_attn_resolutions=(),
+        self_attn_resolutions=attn,
+        self_attn_dim_head=8,
+        self_attn_heads=2,
         cross_attn_resolutions=(),
         num_conv_kernels=2,
         unconditional=True,
     )
 
 
-def build_our_generator():
+def build_our_generator(attn=()):
     from gigagan_tpu.models import Generator
 
     return Generator(
@@ -232,7 +234,9 @@ def build_our_generator():
         dim_max=64,
         dim_latent=DIM_LATENT,
         style_network=dict(dim=STYLE_DIM, depth=2),
-        self_attn_resolutions=(),
+        self_attn_resolutions=attn,
+        self_attn_dim_head=8,
+        self_attn_heads=2,
         cross_attn_resolutions=(),
         num_conv_kernels=2,
         unconditional=True,
@@ -267,6 +271,10 @@ def port_generator_params(ref_g, template):
         "style_to_conv_modulations.bias"
     ]
 
+    def dense_from_1x1(key):
+        # torch conv2d 1x1 (out, in, 1, 1) → flax dense (in, out)
+        return sd[key][:, :, 0, 0].T.copy()
+
     num_stages = len(ref_g.layers)
     for s in range(num_stages):
         base = f"layers.{s}.1"  # resnet block ModuleList
@@ -286,15 +294,40 @@ def port_generator_params(ref_g, template):
             f"layers.{s}.2.weights"
         ].transpose(0, 3, 4, 2, 1).copy()
 
+        attn_base = f"layers.{s}.3"
+        if f"{attn_base}.attn.norm.gamma" in sd:
+            block = params[f"stages_{s}_self_attn"]
+            attn = block["attn"]
+            attn["norm"]["gamma"] = sd[
+                f"{attn_base}.attn.norm.gamma"
+            ].reshape(-1)
+            for proj in ("to_q", "to_k", "to_v", "to_out"):
+                attn[proj]["kernel"] = dense_from_1x1(
+                    f"{attn_base}.attn.{proj}.weight"
+                )
+            attn["null_kv"] = sd[f"{attn_base}.attn.null_kv"]
+            ff = block["ff"]
+            ff["norm"]["gamma"] = sd[f"{attn_base}.ff.0.gamma"].reshape(-1)
+            ff["proj_in"]["kernel"] = dense_from_1x1(
+                f"{attn_base}.ff.1.weight"
+            )
+            ff["proj_in"]["bias"] = sd[f"{attn_base}.ff.1.bias"]
+            ff["proj_out"]["kernel"] = dense_from_1x1(
+                f"{attn_base}.ff.3.weight"
+            )
+            ff["proj_out"]["bias"] = sd[f"{attn_base}.ff.3.bias"]
+
     return jax.tree.map(jnp.asarray, params)
 
 
 class TestGeneratorParity:
-    def test_full_forward_matches_reference(self, ref):
-        ref_g = build_reference_generator(ref)
+    @pytest.mark.parametrize("attn", [(), (16,)],
+                             ids=["no_attn", "self_attn_16"])
+    def test_full_forward_matches_reference(self, ref, attn):
+        ref_g = build_reference_generator(ref, attn=attn)
         ref_g.eval()
 
-        ours = build_our_generator()
+        ours = build_our_generator(attn=attn)
         rngs = {
             "params": jax.random.PRNGKey(0),
             "noise": jax.random.PRNGKey(1),
@@ -330,4 +363,363 @@ class TestGeneratorParity:
                 np.asarray(a).transpose(0, 3, 1, 2), t2n(b),
                 rtol=5e-3, atol=5e-4,
                 err_msg=f"rgb pyramid level {i} mismatch",
+            )
+
+
+# --------------------------------------------------- discriminator parity
+
+def port_discriminator_params(ref_d, template):
+    sd = {k: t2n(v) for k, v in ref_d.state_dict().items()}
+    params = jax.tree.map(np.array, template)
+
+    def conv(key):
+        # torch (o, i, kh, kw) → flax (kh, kw, i, o)
+        return sd[key].transpose(2, 3, 1, 0).copy()
+
+    def dense_from_1x1(key):
+        return sd[key][:, :, 0, 0].T.copy()
+
+    def map_self_attention(dst, base, has_to_k):
+        attn, ff = dst["attn"], dst["ff"]
+        attn["norm"]["gamma"] = sd[f"{base}.attn.norm.gamma"].reshape(-1)
+        projs = ["to_q", "to_v", "to_out"] + (["to_k"] if has_to_k else [])
+        for proj in projs:
+            attn[proj]["kernel"] = dense_from_1x1(
+                f"{base}.attn.{proj}.weight"
+            )
+        attn["null_kv"] = sd[f"{base}.attn.null_kv"]
+        ff["norm"]["gamma"] = sd[f"{base}.ff.0.gamma"].reshape(-1)
+        ff["proj_in"]["kernel"] = dense_from_1x1(f"{base}.ff.1.weight")
+        ff["proj_in"]["bias"] = sd[f"{base}.ff.1.bias"]
+        ff["proj_out"]["kernel"] = dense_from_1x1(f"{base}.ff.3.weight")
+        ff["proj_out"]["bias"] = sd[f"{base}.ff.3.bias"]
+
+    num_stages = len(ref_d.layers)
+    pred_idx = 0
+    for s in range(num_stages):
+        core = params[f"stages_{s}_core"]
+        # the reference creates (kaiming'd but unused) from_rgb convs at
+        # every stage; flax only materializes params for called modules
+        if f"stages_{s}_from_rgb" in params:
+            params[f"stages_{s}_from_rgb"]["kernel"] = conv(
+                f"layers.{s}.1.weight"
+            )
+            params[f"stages_{s}_from_rgb"]["bias"] = sd[
+                f"layers.{s}.1.bias"
+            ]
+        core["conv_block1"]["kernel"] = conv(f"layers.{s}.2.0.weight")
+        core["conv_block1"]["bias"] = sd[f"layers.{s}.2.0.bias"]
+        core["conv_block2"]["kernel"] = conv(f"layers.{s}.2.2.weight")
+        core["conv_block2"]["bias"] = sd[f"layers.{s}.2.2.bias"]
+        core["residual_conv"]["kernel"] = conv(f"layers.{s}.3.weight")
+        core["residual_conv"]["bias"] = sd[f"layers.{s}.3.bias"]
+
+        if f"layers.{s}.4.attn.norm.gamma" in sd:
+            # D uses L2-distance self-attention (no to_k, shared q/k)
+            map_self_attention(core["attn"], f"layers.{s}.4",
+                               has_to_k=False)
+
+        if f"layers.{s}.5.residual_fn.weight" in sd:
+            pred = params[f"stages_{s}_predictor"]
+            base = f"layers.{s}.5"
+            pred["residual_fn"]["kernel"] = dense_from_1x1(
+                f"{base}.residual_fn.weight"
+            )
+            pred["residual_fn"]["bias"] = sd[f"{base}.residual_fn.bias"]
+            for d in range(2):  # predictor_depth=2
+                for j, slot in ((1, 0), (2, 2)):
+                    pred[f"conv{j}_{d}"]["kernel"] = conv(
+                        f"{base}.layers.{d}.{slot}.weight"
+                    )
+                    pred[f"conv{j}_{d}"]["bias"] = sd[
+                        f"{base}.layers.{d}.{slot}.bias"
+                    ]
+            pred["to_logits"]["kernel"] = dense_from_1x1(
+                f"{base}.to_logits.weight"
+            )
+            pred["to_logits"]["bias"] = sd[f"{base}.to_logits.bias"]
+            pred_idx += 1
+
+        if f"layers.{s}.7.1.weight" in sd:
+            params[f"stages_{s}_downsample"]["proj"]["kernel"] = (
+                dense_from_1x1(f"layers.{s}.7.1.weight")
+            )
+            params[f"stages_{s}_downsample"]["proj"]["bias"] = sd[
+                f"layers.{s}.7.1.bias"
+            ]
+
+    params["to_logits_conv"]["kernel"] = conv("to_logits.0.weight")
+    params["to_logits_conv"]["bias"] = sd["to_logits.0.bias"]
+    # torch flattens (c, h, w); we flatten (h, w, c) — permute the dense
+    w = sd["to_logits.2.weight"]  # (1, c*16)
+    c = w.shape[1] // 16
+    w = w.reshape(1, c, 4, 4).transpose(0, 2, 3, 1).reshape(1, -1)
+    params["to_logits_dense"]["kernel"] = w.T.copy()
+    params["to_logits_dense"]["bias"] = sd["to_logits.2.bias"]
+
+    return jax.tree.map(jnp.asarray, params)
+
+
+class TestDiscriminatorParity:
+    def test_full_forward_matches_reference(self, ref):
+        torch.manual_seed(0)
+        kwargs = dict(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=64,
+            attn_resolutions=(16,),
+            attn_dim_head=8,
+            attn_heads=2,
+            multiscale_input_resolutions=(16, 8),
+            aux_recon_resolutions=(),
+            aux_recon_patch_dims=(),
+            aux_recon_frac_patches=(),
+            num_conv_kernels=2,
+            unconditional=True,
+        )
+        ref_d = ref.Discriminator(**kwargs)
+        ref_d.eval()
+
+        from gigagan_tpu.models import Discriminator
+
+        ours = Discriminator(**kwargs)
+
+        b = 2
+        torch.manual_seed(1)
+        images_t = torch.rand(b, 3, IMAGE_SIZE, IMAGE_SIZE)
+        rgbs_t = [torch.rand(b, 3, 16, 16), torch.rand(b, 3, 8, 8)]
+
+        images = jnp.asarray(t2n(images_t).transpose(0, 2, 3, 1))
+        rgbs = [jnp.asarray(t2n(r).transpose(0, 2, 3, 1)) for r in rgbs_t]
+
+        template = ours.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            images, rgbs,
+        )["params"]
+        params = port_discriminator_params(ref_d, jax.device_get(template))
+
+        with torch.no_grad():
+            logits_ref, ms_ref, _ = ref_d(
+                images_t, rgbs_t, calc_aux_loss=False
+            )
+
+        logits, ms, _ = ours.apply(
+            {"params": params}, images, rgbs, calc_aux_loss=False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+
+        # main logits: both (s, b), same group order.  The reference expands
+        # scale-major, we expand batch-major — per-(sample, group) values
+        # must agree after the transpose our D already does.
+        np.testing.assert_allclose(
+            np.asarray(logits), t2n(logits_ref), rtol=2e-3, atol=2e-3
+        )
+
+        # multiscale predictor maps: ref rows are (s_prev, b) scale-major,
+        # ours are (b, s_prev) sample-major
+        assert len(ms) == len(ms_ref)
+        for m_ours, m_ref in zip(ms, ms_ref):
+            s_prev = m_ref.shape[0] // b
+            a = np.asarray(m_ours)[..., 0].reshape(
+                b, s_prev, *m_ours.shape[1:3]
+            ).transpose(1, 0, 2, 3)
+            r = t2n(m_ref).reshape(s_prev, b, *m_ref.shape[2:])
+            np.testing.assert_allclose(a, r, rtol=2e-3, atol=2e-3)
+
+
+# ------------------------------------------------------ upsampler parity
+
+def port_upsampler_params(ref_u, template):
+    sd = {k: t2n(v) for k, v in ref_u.state_dict().items()}
+    params = jax.tree.map(np.array, template)
+
+    def conv(key):
+        return sd[key].transpose(2, 3, 1, 0).copy()
+
+    def dense_from_1x1(key):
+        return sd[key][:, :, 0, 0].T.copy()
+
+    def bank(key):
+        return sd[key].transpose(0, 3, 4, 2, 1).copy()
+
+    def map_resnet(dst, base):
+        dst["block1"]["proj"]["weights"] = bank(f"{base}.block1.proj.weights")
+        dst["block1"]["norm"]["gamma"] = sd[f"{base}.block1.norm.gamma"]
+        dst["block2"]["proj"]["weights"] = bank(f"{base}.block2.proj.weights")
+        dst["block2"]["norm"]["gamma"] = sd[f"{base}.block2.norm.gamma"]
+        if f"{base}.res_conv.weight" in sd:
+            dst["res_conv"]["kernel"] = dense_from_1x1(
+                f"{base}.res_conv.weight"
+            )
+            dst["res_conv"]["bias"] = sd[f"{base}.res_conv.bias"]
+
+    def map_transformer(dst, base, depth, linear):
+        for d in range(depth):
+            attn = dst[f"attn_{d}"]
+            attn["norm"]["gamma"] = sd[f"{base}.layers.{d}.0.norm.gamma"]
+            attn["to_qkv"]["kernel"] = dense_from_1x1(
+                f"{base}.layers.{d}.0.to_qkv.weight"
+            )
+            if linear:
+                attn["to_out"]["kernel"] = dense_from_1x1(
+                    f"{base}.layers.{d}.0.to_out.0.weight"
+                )
+                attn["to_out"]["bias"] = sd[
+                    f"{base}.layers.{d}.0.to_out.0.bias"
+                ]
+                attn["out_norm"]["gamma"] = sd[
+                    f"{base}.layers.{d}.0.to_out.1.gamma"
+                ]
+            else:
+                attn["to_out"]["kernel"] = dense_from_1x1(
+                    f"{base}.layers.{d}.0.to_out.weight"
+                )
+                attn["to_out"]["bias"] = sd[
+                    f"{base}.layers.{d}.0.to_out.bias"
+                ]
+            ff = dst[f"ff_{d}"]
+            ff["norm"]["gamma"] = sd[f"{base}.layers.{d}.1.0.gamma"]
+            ff["proj_in"]["kernel"] = dense_from_1x1(
+                f"{base}.layers.{d}.1.1.weight"
+            )
+            ff["proj_in"]["bias"] = sd[f"{base}.layers.{d}.1.1.bias"]
+            ff["proj_out"]["kernel"] = dense_from_1x1(
+                f"{base}.layers.{d}.1.3.weight"
+            )
+            ff["proj_out"]["bias"] = sd[f"{base}.layers.{d}.1.3.bias"]
+
+    # style net (EqualLinear) + global style projection
+    i = 0
+    while f"style_network.net.{i * 2}.weight" in sd:
+        params["style_net"][f"linear_{i}"]["weight"] = sd[
+            f"style_network.net.{i * 2}.weight"
+        ].T
+        params["style_net"][f"linear_{i}"]["bias"] = sd[
+            f"style_network.net.{i * 2}.bias"
+        ]
+        i += 1
+    params["style_to_conv_modulations"]["kernel"] = sd[
+        "style_to_conv_modulations.weight"
+    ].T
+    params["style_to_conv_modulations"]["bias"] = sd[
+        "style_to_conv_modulations.bias"
+    ]
+
+    params["init_conv"]["kernel"] = conv("init_conv.weight")
+    params["init_conv"]["bias"] = sd["init_conv.bias"]
+
+    n_down = len(ref_u.downs)
+    full_attn = (False, True)
+    for s in range(n_down):
+        map_resnet(params[f"downs_{s}_block1"], f"downs.{s}.0")
+        map_resnet(params[f"downs_{s}_block2"], f"downs.{s}.1")
+        map_transformer(params[f"downs_{s}_attn"], f"downs.{s}.3",
+                        depth=1, linear=not full_attn[s])
+        params[f"downs_{s}_downsample"]["conv2d"]["kernel"] = conv(
+            f"downs.{s}.6.conv2d.weight"
+        )
+        params[f"downs_{s}_downsample"]["conv2d"]["bias"] = sd[
+            f"downs.{s}.6.conv2d.bias"
+        ]
+
+    map_resnet(params["mid_block1"], "mid_block1")
+    map_transformer(params["mid_attn"], "mid_attn", depth=1, linear=False)
+    map_resnet(params["mid_block2"], "mid_block2")
+    params["mid_to_rgb"]["kernel"] = dense_from_1x1("mid_to_rgb.weight")
+    params["mid_to_rgb"]["bias"] = sd["mid_to_rgb.bias"]
+
+    rev_full = list(reversed(full_attn))
+    for s in range(n_down):
+        params[f"ups_{s}_upsample"]["conv"]["kernel"] = dense_from_1x1(
+            f"ups.{s}.0.net.0.weight"
+        )
+        params[f"ups_{s}_upsample"]["conv"]["bias"] = sd[
+            f"ups.{s}.0.net.0.bias"
+        ]
+        params[f"ups_{s}_to_rgb"]["kernel"] = dense_from_1x1(
+            f"ups.{s}.4.weight"
+        )
+        params[f"ups_{s}_to_rgb"]["bias"] = sd[f"ups.{s}.4.bias"]
+        map_resnet(params[f"ups_{s}_block1"], f"ups.{s}.5")
+        map_resnet(params[f"ups_{s}_block2"], f"ups.{s}.6")
+        map_transformer(params[f"ups_{s}_attn"], f"ups.{s}.8",
+                        depth=1, linear=not rev_full[s])
+
+    map_resnet(params["final_res_block"], "final_res_block")
+    params["final_to_rgb"]["kernel"] = dense_from_1x1("final_to_rgb.weight")
+    params["final_to_rgb"]["bias"] = sd["final_to_rgb.bias"]
+
+    return jax.tree.map(jnp.asarray, params)
+
+
+class TestUpsamplerParity:
+    def test_full_forward_matches_reference(self, ref):
+        from gigagan_pytorch.unet_upsampler import UnetUpsampler as RefUp
+
+        torch.manual_seed(0)
+        kwargs = dict(
+            dim=8,
+            image_size=32,
+            input_image_size=8,
+            dim_mults=(1, 2),
+            # NOTE: full_attn == cross_attn on purpose.  The reference's
+            # up-path zip unpacks (layer_cross_attn, layer_full_attn) in
+            # SWAPPED order (unet_upsampler.py:596), so its ups pick the
+            # attention type from cross_attn; we fixed the swap, so parity
+            # requires the two tuples to coincide (defect #10, PARITY.md).
+            full_attn=(False, True),
+            cross_attn=(False, True),
+            attn_depths=(1, 1),
+            temporal_attn_depths=(1, 1),
+            self_attn_dim_head=8,
+            self_attn_heads=2,
+            cross_attn_dim_head=8,
+            num_conv_kernels=2,
+            unconditional=True,
+            style_network=dict(dim=STYLE_DIM, depth=2),
+        )
+        ref_u = RefUp(**kwargs)
+        ref_u.eval()
+
+        from gigagan_tpu.models.unet_upsampler import UnetUpsampler
+
+        ours = UnetUpsampler(**kwargs)
+
+        rngs = {
+            "params": jax.random.PRNGKey(0),
+            "noise": jax.random.PRNGKey(1),
+            "latent": jax.random.PRNGKey(2),
+        }
+        lowres = jnp.zeros((2, 8, 8, 3))
+        template = ours.init(rngs, lowres)["params"]
+        params = port_upsampler_params(ref_u, jax.device_get(template))
+
+        torch.manual_seed(3)
+        lowres_t = torch.rand(2, 3, 8, 8)
+        latents = torch.randn(2, STYLE_DIM)
+
+        with torch.no_grad():
+            out_ref, rgbs_ref = ref_u(
+                lowres_t, noise=latents, return_all_rgbs=True
+            )
+
+        out, rgbs = ours.apply(
+            {"params": params},
+            jnp.asarray(t2n(lowres_t).transpose(0, 2, 3, 1)),
+            noise=jnp.asarray(t2n(latents)),
+            return_all_rgbs=True,
+            rngs={"noise": jax.random.PRNGKey(7)},
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), t2n(out_ref),
+            rtol=5e-3, atol=5e-4,
+        )
+        assert len(rgbs) == len(rgbs_ref)
+        for i, (a, b) in enumerate(zip(rgbs, rgbs_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a).transpose(0, 3, 1, 2), t2n(b),
+                rtol=5e-3, atol=5e-4,
+                err_msg=f"upsampler rgb level {i}",
             )
