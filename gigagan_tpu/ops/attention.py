@@ -23,7 +23,8 @@ from gigagan_tpu.utils import exists
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None):
+def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
+           use_flash=None):
     """Softmax attention.
 
     q: (b, h, i, d); k, v: (b, h, j, d); mask: (b, j) key-padding mask
@@ -32,9 +33,22 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None):
     l2_dist=True uses negative squared L2 distance as similarity (ViTGAN
     Lipschitz trick, reference: :576-580), expanded as 2qk − |q|² − |k|² so
     the dominant term stays a single MXU matmul.
+
+    use_flash=True routes to the fused Pallas kernel
+    (ops/pallas/flash_attention.py), which keeps sim/attn in VMEM.  It is
+    numerically verified on TPU but measured at parity with XLA's attention
+    at GigaGAN's sizes (DESIGN.md), so the default stays on the XLA path;
+    the kernel's VJP is also first-order (no R1 double-backward).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+
+    if use_flash is None:
+        use_flash = False
+    if use_flash:
+        from gigagan_tpu.ops.pallas.flash_attention import flash_attend
+
+        return flash_attend(q, k, v, mask, l2_dist, scale)
 
     out_dtype = q.dtype
     qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))

@@ -305,10 +305,10 @@ class TrainStepBuilder:
                 )
         else:
             # common path: ONE batched D call for [real; fake] halves the
-            # per-step launch count
-            (logits, ms, aux_losses), _ = jax.vjp(
-                d_on_pair, real_images, fake_aug
-            )
+            # per-step launch count.  Direct call (no vjp): an unused vjp
+            # closure would force forward-mode linearization through the
+            # pallas kernels when the outer grad runs.
+            logits, ms, aux_losses = d_on_pair(real_images, fake_aug)
             real_logits, real_ms, fake_logits, fake_ms = (
                 self._split_halves(logits, ms, b)
             )

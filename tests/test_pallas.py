@@ -142,3 +142,73 @@ class TestL2NormStability:
             lambda t: jnp.sum(l2norm(t).astype(jnp.float32) ** 2)
         )(x)
         assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+class TestFlashAttention:
+    def _qkv(self, seed=0, b=2, h=2, nq=9, nk=11, d=16):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        q = jax.random.normal(ks[0], (b, h, nq, d))
+        k = jax.random.normal(ks[1], (b, h, nk, d))
+        v = jax.random.normal(ks[2], (b, h, nk, d))
+        return q, k, v
+
+    @pytest.mark.parametrize("l2", [False, True])
+    def test_forward_matches_math(self, l2):
+        from gigagan_tpu.ops.attention import attend
+        from gigagan_tpu.ops.pallas.flash_attention import flash_attend
+
+        q, k, v = self._qkv()
+        mask = jnp.ones((2, 11), bool).at[1, 7:].set(False)
+        ref = attend(q, k, v, mask=mask, l2_dist=l2, use_flash=False)
+        out = flash_attend(q, k, v, mask, l2, None, True)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("l2", [False, True])
+    def test_grads_match_math(self, l2):
+        from gigagan_tpu.ops.attention import attend
+        from gigagan_tpu.ops.pallas.flash_attention import flash_attend
+
+        q, k, v = self._qkv(seed=1)
+        mask = jnp.ones((2, 11), bool).at[0, 9:].set(False)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attend(q, k, v, mask, l2, None, True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                attend(q, k, v, mask=mask, l2_dist=l2, use_flash=False) ** 2
+            )
+
+        g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip("qkv", g_f, g_r):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_shared_qk_grads(self):
+        """SelfAttention(dot_product=False) passes k=q — gradient must sum
+        both paths through the custom VJP."""
+        from gigagan_tpu.ops.attention import attend
+        from gigagan_tpu.ops.pallas.flash_attention import flash_attend
+
+        q, _, v = self._qkv(seed=2, nq=8, nk=8)
+
+        def loss_flash(q, v):
+            return jnp.sum(flash_attend(q, q, v, None, True, None, True) ** 2)
+
+        def loss_ref(q, v):
+            return jnp.sum(
+                attend(q, q, v, l2_dist=True, use_flash=False) ** 2
+            )
+
+        g_f = jax.grad(loss_flash, argnums=(0, 1))(q, v)
+        g_r = jax.grad(loss_ref, argnums=(0, 1))(q, v)
+        for name, a, b_ in zip(("q", "v"), g_f, g_r):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
+                err_msg=f"d{name} mismatch",
+            )
