@@ -13,10 +13,16 @@ from gigagan_tpu import losses, ops, parallel, utils  # noqa: F401
 
 
 def __getattr__(name):
-    # lazy heavyweight imports so `import gigagan_tpu` stays cheap
+    # Lazy heavyweight imports so `import gigagan_tpu` stays cheap.
+    # NOTE: must use importlib, not `from gigagan_tpu import X` — a from-
+    # import of a not-yet-loaded submodule calls hasattr(package, X), which
+    # re-enters this __getattr__ and recurses forever (CPython
+    # _handle_fromlist checks the attribute before importing the submodule).
+    import importlib
+
     if name in ("Generator", "Discriminator", "StyleNetwork", "TextEncoder",
                 "BaseGenerator", "Predictor", "SimpleDecoder"):
-        from gigagan_tpu import models
+        models = importlib.import_module("gigagan_tpu.models")
 
         return getattr(models, name)
     if name == "UnetUpsampler":
@@ -41,16 +47,10 @@ def __getattr__(name):
 
         return AdaptiveConv
     if name in ("ImageDataset", "TextImageDataset", "MockTextImageDataset"):
-        from gigagan_tpu import data
+        data = importlib.import_module("gigagan_tpu.data")
 
         return getattr(data, name)
-    if name == "models":
-        from gigagan_tpu import models
-
-        return models
-    if name in ("data", "train"):
-        import importlib
-
+    if name in ("models", "data", "train"):
         return importlib.import_module(f"gigagan_tpu.{name}")
     raise AttributeError(f"module 'gigagan_tpu' has no attribute {name!r}")
 
