@@ -36,10 +36,9 @@ from jax import lax
 
 from gigagan_tpu.utils import exists
 
-# Context override for the pallas path.  The fused kernel's custom VJP is
-# first-order: differentiating THROUGH its backward (as the R1 gradient
-# penalty's double-backward does) has no autodiff rule, so GP-bearing
-# discriminator applies trace under `pallas_disabled()`.
+# Context override for the pallas path (debugging / A-B benchmarking).  The
+# fused ops are closed under differentiation (ops/pallas/adaptive_conv.py),
+# so even R1 double-backward steps stay on the fused path by default.
 _PALLAS_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
     "gigagan_pallas_override", default=None
 )

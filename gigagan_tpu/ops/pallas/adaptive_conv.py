@@ -20,10 +20,12 @@ Layout contract (same as ops.adaptive_conv):
 Both input and output channels are tiled so weight blocks fit VMEM at
 dim_max-scale layers (o tiles of 128 lanes; i tiles chosen to budget).
 
-Backward is a custom VJP (first-order — the trainer's R1 double-backward
-traces its D applies on the XLA path via `pallas_disabled()`):
-  dx      — the SAME kernel on the demod-scaled cotangent with spatially
-            flipped, (i,o)-transposed weights
+Autodiff: the public ops (`pconv2d`, `pcorr2d`) are mutually-recursive
+custom VJPs CLOSED under reverse-mode differentiation — each one's backward
+is a composition of the two ops — so the trainer's R1 gradient-penalty
+double-backward runs on the fused kernels to arbitrary order:
+  dx      — the SAME kernel on the cotangent with spatially flipped,
+            (i,o)-transposed weights
   dW, da  — one kernel forming the per-sample weight-gradient tile in VMEM
             and contracting it immediately against (a) the selection weights
             into dW and (b) the kernel banks into da — nothing per-sample
@@ -296,56 +298,117 @@ def _bwd_w_pallas(x_pad, g_scaled, weights, attn, *, co_tile, interpret):
     return dw[..., :co], da
 
 
-# --------------------------------------------------------------- public op
+# ------------------------------------------------- public ops (AD-closed)
+#
+# Two mutually-recursive custom-VJP ops that are CLOSED under reverse-mode
+# differentiation, so the R1 gradient penalty's double-backward (reverse-
+# over-reverse) stays on the fused kernels to arbitrary order:
+#
+#   pconv2d(x, W, a)        = conv2d(x, Σₙ a[b,n]·Wₙ)      (3x3, SAME)
+#   pcorr2d(x, g, W, a)     = (dw, da)  where, with the per-sample
+#       correlation C[b,ky,kx,i,o] = Σ_{r,c} x_pad[b,r+ky,c+kx,i]·g[b,r,c,o]:
+#       dw[n] = Σ_b a[b,n]·C[b]          da[b,n] = Σ W[n]·C[b]
+#
+# Both ops are multilinear, and each one's VJP is a composition of the two:
+#   ∂pconv/∂x → pconv(g, flip(W)ᵀ, a);  ∂pconv/∂(W,a) → pcorr(x, g, W, a)
+#   ∂pcorr/∂x → pconv(g, flip(T)ᵀ, ·) with the 2n-bank mixture
+#       T[b] = Σₙ a[b,n]·ĝdw[n] + Σₙ ĝda[b,n]·Wₙ  (banks [ĝdw; W],
+#       coefficients [a; ĝda]);  ∂pcorr/∂g → pconv(x, [ĝdw; W], [a; ĝda]);
+#   ∂pcorr/∂(W,a) → pcorr(x, g, ĝdw, ĝda)  (one call gives both).
+#
+# Demodulation is deliberately NOT in these ops: it is a per-(b,o) scale
+# applied by the caller as a plain jnp multiply (XLA fuses it with the
+# neighboring noise/bias/leaky elementwise ops), which keeps the op pair
+# trilinear and the closure exact.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_adaptive_conv2d(x_mod, weights, attn, demod, co_tile=128,
-                          interpret=None):
-    """out[b] = demod[b] ⊙ conv2d(x_mod[b], Σₙ attn[b,n]·Wₙ), 3x3, SAME."""
+
+def _flip_t(banks):
+    """Spatially flip + (i,o)-transpose kernel banks: (n,3,3,i,o)→(n,3,3,o,i)."""
+    return jnp.flip(banks, axis=(1, 2)).swapaxes(-1, -2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pconv2d(x, weights, coeff, co_tile=128, interpret=None):
+    """out[b] = conv2d(x[b], Σₙ coeff[b,n]·Wₙ), 3x3 SAME, per-sample mix.
+
+    x (b,h,w,i); weights (n,3,3,i,o); coeff (b,n) — NOT softmaxed here.
+    """
     interpret = (not pallas_supported()) if interpret is None else interpret
-    return _fwd_pallas(x_mod, weights, attn, demod, co_tile=co_tile,
+    ones = jnp.ones((x.shape[0], weights.shape[-1]), jnp.float32)
+    return _fwd_pallas(x, weights, coeff, ones, co_tile=co_tile,
                        interpret=interpret)
 
 
-def _fused_fwd(x_mod, weights, attn, demod, co_tile, interpret):
-    # fwd keeps the primal's argument order; only bwd gets the nondiff
-    # args (co_tile, interpret) prepended
-    out = fused_adaptive_conv2d(x_mod, weights, attn, demod, co_tile,
-                                interpret)
-    return out, (x_mod, weights, attn, demod, out)
+def _pconv_fwd(x, weights, coeff, co_tile, interpret):
+    out = pconv2d(x, weights, coeff, co_tile, interpret)
+    return out, (x, weights, coeff)
 
 
-def _fused_bwd(co_tile, interpret, residuals, g):
-    x_mod, weights, attn, demod, out = residuals
-    interpret = (not pallas_supported()) if interpret is None else interpret
-    b = x_mod.shape[0]
-
-    # demod grad from the saved output: d_demod[b,o] = Σ g·(out/demod)
-    d_demod = jnp.einsum(
-        "bhwo,bhwo->bo", g.astype(jnp.float32), out.astype(jnp.float32)
-    ) / jnp.where(demod == 0.0, 1.0, demod.astype(jnp.float32))
-
-    g_scaled = (
-        g.astype(jnp.float32) * demod.astype(jnp.float32)[:, None, None, :]
-    ).astype(x_mod.dtype)
-
-    # dx: same kernel, flipped + (i,o)-transposed weights, unit demod
-    w_t = jnp.flip(weights, axis=(1, 2)).swapaxes(-1, -2)  # (n,3,3,o,i)
-    ones = jnp.ones((b, x_mod.shape[-1]), jnp.float32)
-    dx = _fwd_pallas(g_scaled, w_t, attn, ones, co_tile=co_tile,
-                     interpret=interpret).astype(x_mod.dtype)
-
-    # dW and da in one pass
-    x_pad = jnp.pad(x_mod, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dw, da = _bwd_w_pallas(x_pad, g_scaled, weights, attn, co_tile=co_tile,
-                           interpret=interpret)
-
+def _pconv_bwd(co_tile, interpret, residuals, g):
+    x, weights, coeff = residuals
+    g = g.astype(x.dtype)
+    dx = pconv2d(g, _flip_t(weights), coeff, co_tile, interpret)
+    dw, da = pcorr2d(x, g, weights, coeff, co_tile, interpret)
     return (
-        dx,
+        dx.astype(x.dtype),
         dw.astype(weights.dtype),
-        da.astype(attn.dtype),
-        d_demod.astype(demod.dtype),
+        da.astype(coeff.dtype),
     )
 
 
-fused_adaptive_conv2d.defvjp(_fused_fwd, _fused_bwd)
+pconv2d.defvjp(_pconv_fwd, _pconv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def pcorr2d(x, g, weights, coeff, co_tile=128, interpret=None):
+    """Weight-gradient correlation of a 3x3 SAME conv (see block comment).
+
+    Returns (dw (n,3,3,i,o) fp32, da (b,n) fp32).
+    """
+    interpret = (not pallas_supported()) if interpret is None else interpret
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return _bwd_w_pallas(x_pad, g.astype(x.dtype), weights, coeff,
+                         co_tile=co_tile, interpret=interpret)
+
+
+def _pcorr_fwd(x, g, weights, coeff, co_tile, interpret):
+    out = pcorr2d(x, g, weights, coeff, co_tile, interpret)
+    return out, (x, g, weights, coeff)
+
+
+def _pcorr_bwd(co_tile, interpret, residuals, cots):
+    x, g, weights, coeff = residuals
+    g_dw, g_da = cots
+    banks = jnp.concatenate(
+        (g_dw.astype(weights.dtype), weights), axis=0
+    )  # (2n,3,3,i,o)
+    mix = jnp.concatenate(
+        (coeff.astype(jnp.float32), g_da.astype(jnp.float32)), axis=1
+    )  # (b,2n)
+    dx = pconv2d(g, _flip_t(banks), mix, co_tile, interpret)
+    dg = pconv2d(x, banks, mix, co_tile, interpret)
+    dw_hat, da_hat = pcorr2d(
+        x, g, g_dw.astype(weights.dtype), g_da.astype(jnp.float32),
+        co_tile, interpret,
+    )
+    return (
+        dx.astype(x.dtype),
+        dg.astype(g.dtype),
+        dw_hat.astype(weights.dtype),
+        da_hat.astype(coeff.dtype),
+    )
+
+
+pcorr2d.defvjp(_pcorr_fwd, _pcorr_bwd)
+
+
+def fused_adaptive_conv2d(x_mod, weights, attn, demod, co_tile=128,
+                          interpret=None):
+    """out[b] = demod[b] ⊙ conv2d(x_mod[b], Σₙ attn[b,n]·Wₙ), 3x3, SAME.
+
+    Compatibility wrapper over the AD-closed op pair: the conv runs in the
+    fused Pallas kernel; the demod scale is a plain multiply XLA fuses with
+    downstream elementwise ops.  Arbitrary-order differentiable.
+    """
+    out = pconv2d(x_mod, weights, attn, co_tile, interpret)
+    return out * demod.astype(out.dtype)[:, None, None, :]

@@ -3,13 +3,14 @@
 Maps the reference's host-side training loops (gigagan_pytorch/gigagan_pytorch
 .py:2226-2610) onto two compiled steps:
 
-- `d_step`: per microbatch — sample fakes (no G grad), diff-augment, run D on
-  fake and real, hinge + multiscale hinge + R1 gradient penalty (via
-  `jax.vjp` reusing the SAME forward graph, exactly like torch's
-  create_graph double-backward at :2357-2372) + aux reconstruction +
-  vision-aided hinge (+ its GP on the CLIP taps) + matching-aware loss, all
-  accumulated across microbatches by `lax.scan`; D and VD updated by their
-  own optimizers (reference :2477-2480).
+- `d_step`: per microbatch — sample fakes (no G grad), diff-augment, run D
+  ONCE on the batched [real; fake] pair, hinge + multiscale hinge + R1
+  gradient penalty (via `jax.vjp` reusing the SAME forward graph, exactly
+  like torch's create_graph double-backward at :2357-2372; the fused pallas
+  conv ops are differentiation-closed so GP stays on the fused kernels) +
+  aux reconstruction + vision-aided hinge (+ its GP on the CLIP taps) +
+  matching-aware loss, all accumulated across microbatches by `lax.scan`;
+  D and VD updated by their own optimizers (reference :2477-2480).
 - `g_step`: per microbatch — sample fakes WITH grad, D forward, generator
   hinge + multiscale + vision-aided + CLIP contrastive, scan-accumulated;
   optimizer update; branchless EMA update folded in.
@@ -97,6 +98,7 @@ class TrainStepBuilder:
         diff_augment=None,
         ema_kwargs: Optional[dict] = None,
         remat: bool = False,
+        gp_chunk: Optional[int] = None,
     ):
         self.G = generator
         self.D = discriminator
@@ -114,6 +116,13 @@ class TrainStepBuilder:
         self.matching_w = matching_awareness_loss_weight
         self.diff_augment = diff_augment
         self.remat = remat
+        # R1 chunking: bound the double-backward's live graph to `gp_chunk`
+        # samples by scanning the penalty over batch chunks.  D is strictly
+        # per-sample (RMSNorm/SqueezeExcite pool within a sample), so
+        # chunked input-gradients equal full-batch ones; flip-only
+        # DiffAugment preserves gradient norms, so the penalty is computed
+        # on the un-augmented pipeline.  None = single full-batch vjp.
+        self.gp_chunk = gp_chunk
         self.ema_kwargs = dict(ema_kwargs or {})
         self._d_cache = {}
         self._g_cache = {}
@@ -280,38 +289,24 @@ class TrainStepBuilder:
                                  calc_ms, True, aux_recon_samples=b)
 
         gp_loss = jnp.asarray(0.0)
-        if apply_gp:
-            # GP steps: SEPARATE real/fake vjps — one combined 2b
-            # double-backward graph peaks over HBM at the quickstart scale.
-            # The pallas kernel's VJP is first-order only, so these trace
-            # on the XLA path.
-            from gigagan_tpu.ops.adaptive_conv import pallas_disabled
-
-            def d_on_fake(imgs):
-                return self._d_apply(d_params, imgs, fake_rgbs_aug,
-                                     text_enc, ks[3], calc_ms, False)
-
-            def d_on_real(imgs):
-                aug, rgbs = real_pipeline(imgs)
-                return self._d_apply(d_params, aug, rgbs, text_enc, ks[4],
-                                     calc_ms, True)
-
-            with pallas_disabled():
-                (fake_logits, fake_ms, _), fake_vjp = jax.vjp(
-                    d_on_fake, fake_aug
-                )
-                (real_logits, real_ms, aux_losses), real_vjp = jax.vjp(
-                    d_on_real, real_images
-                )
+        if apply_gp and self.gp_chunk is None:
+            # GP steps: the SAME batched [real; fake] call, via one vjp.
+            # The fused pallas conv ops are closed under differentiation
+            # (ops/pallas/adaptive_conv.py), so the R1 double-backward
+            # stays on the fused kernels; the joint vjp yields both input
+            # gradients at once (real logits have no fake dependence and
+            # vice versa, so the cross terms are structurally zero).
+            (logits, ms, aux_losses), pair_vjp = jax.vjp(
+                d_on_pair, real_images, fake_aug
+            )
         else:
             # common path: ONE batched D call for [real; fake] halves the
             # per-step launch count.  Direct call (no vjp): an unused vjp
-            # closure would force forward-mode linearization through the
-            # pallas kernels when the outer grad runs.
+            # closure would bloat the outer grad graph.
             logits, ms, aux_losses = d_on_pair(real_images, fake_aug)
-            real_logits, real_ms, fake_logits, fake_ms = (
-                self._split_halves(logits, ms, b)
-            )
+        real_logits, real_ms, fake_logits, fake_ms = (
+            self._split_halves(logits, ms, b)
+        )
 
         divergence = L.discriminator_hinge_loss(real_logits, fake_logits)
         total = divergence
@@ -324,17 +319,73 @@ class TrainStepBuilder:
 
         if apply_gp:
 
-            def penalty(vjp_fn, logits_, ms_, aux_):
-                cot_logits = jnp.ones_like(logits_)
-                cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms_]
-                cot_aux = [jnp.zeros_like(a) for a in aux_]
-                (grads,) = vjp_fn((cot_logits, cot_ms, cot_aux))
+            def sample_sq_norms(grads):
                 g = grads.reshape(grads.shape[0], -1).astype(jnp.float32)
-                norm = jnp.sqrt(jnp.sum(g * g, axis=1) + 1e-12)
-                return 10.0 * jnp.mean(norm ** 2)
+                return jnp.sqrt(jnp.sum(g * g, axis=1) + 1e-12) ** 2
 
-            gp_loss = penalty(real_vjp, real_logits, real_ms, aux_losses) \
-                + penalty(fake_vjp, fake_logits, fake_ms, [])
+            if self.gp_chunk is None:
+                # weighted cotangents reproduce the reference's
+                # grad_outputs ([1, ms_w, ...]; aux excluded) —
+                # gigagan_pytorch.py:2357-2372
+                cot_logits = jnp.ones_like(logits)
+                cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms]
+                cot_aux = [jnp.zeros_like(a) for a in aux_losses]
+                g_real, g_fake = pair_vjp((cot_logits, cot_ms, cot_aux))
+                gp_loss = 10.0 * (
+                    jnp.mean(sample_sq_norms(g_real))
+                    + jnp.mean(sample_sq_norms(g_fake))
+                )
+            else:
+                # chunked R1: re-derive the penalty in a scan over batch
+                # chunks so the live double-backward graph is chunk-sized.
+                # Exact per-sample equality with the full-batch penalty —
+                # see the gp_chunk comment in __init__.
+                c = min(self.gp_chunk, b)
+                assert b % c == 0, (
+                    f"gp_chunk {c} must divide microbatch {b}"
+                )
+                nch = b // c
+
+                def chunked(t):
+                    return t.reshape(nch, c, *t.shape[1:])
+
+                scan_in = (
+                    chunked(real_images),
+                    chunked(fake),
+                    [chunked(r) for r in fake_rgbs],
+                    (chunked(text_enc) if not self.unconditional
+                     else jnp.zeros((nch, c, 0))),
+                )
+
+                def gp_body(acc, inp):
+                    r_chunk, f_chunk, frgbs_chunk, t_chunk = inp
+
+                    def d_chunk(r_imgs, f_imgs):
+                        rgbs_r = self.D.real_images_to_rgbs(r_imgs)
+                        images = jnp.concatenate((r_imgs, f_imgs), axis=0)
+                        prgbs = pair_up(rgbs_r, frgbs_chunk)
+                        text = (
+                            jnp.concatenate((t_chunk, t_chunk), axis=0)
+                            if not self.unconditional else None
+                        )
+                        lg, msl, _ = self._d_apply(
+                            d_params, images, prgbs, text, ks[4],
+                            calc_ms, False,
+                        )
+                        return lg, msl
+
+                    (lg, msl), vjp_fn = jax.vjp(d_chunk, r_chunk, f_chunk)
+                    cot = (
+                        jnp.ones_like(lg),
+                        [jnp.ones_like(m) * self.ms_w for m in msl],
+                    )
+                    g_r, g_f = vjp_fn(cot)
+                    acc = acc + jnp.sum(sample_sq_norms(g_r)) \
+                        + jnp.sum(sample_sq_norms(g_f))
+                    return acc, None
+
+                total_sq, _ = lax.scan(gp_body, jnp.asarray(0.0), scan_in)
+                gp_loss = 10.0 * total_sq / b
 
         aux_loss = jnp.asarray(0.0)
         if self.aux_w > 0.0 and len(aux_losses) > 0:

@@ -96,6 +96,9 @@ class GigaGAN:
         clip=None,
         remat: bool = False,  # recompute-in-backward; enable when the
         # model/batch exceeds HBM (costs ~20% step time when memory fits)
+        gp_chunk: Optional[int] = None,  # R1 penalty batch-chunk size:
+        # bounds the double-backward's HBM to gp_chunk samples (exact same
+        # penalty value); set to ~8 to run microbatches of 16-32 with GP
         checkpoint_backend: str = "msgpack",  # or "orbax"
         seed: int = 42,
         mesh=None,
@@ -206,6 +209,7 @@ class GigaGAN:
             matching_awareness_loss_weight=matching_awareness_loss_weight,
             diff_augment=diff_augment,
             remat=remat,
+            gp_chunk=gp_chunk,
         )
 
         # sampling / checkpointing
@@ -558,15 +562,16 @@ class GigaGAN:
 
     # ------------------------------------------------------------ sampling
 
-    def _generate_params(self):
-        if self.has_ema_generator:
+    def _generate_params(self, use_ema: bool = True):
+        if use_ema and self.has_ema_generator:
             return self.state.ema.params
         return self.state.g_params
 
     def generate(self, *args, batch_size: int = 4, styles=None, noise=None,
                  texts=None, text_encodings=None, lowres_image=None,
-                 seed: Optional[int] = None, **kwargs):
-        """Sample from the (EMA) generator (reference: :2165-2169).
+                 seed: Optional[int] = None, use_ema: bool = True, **kwargs):
+        """Sample from the (EMA) generator (reference: :2165-2169);
+        `use_ema=False` samples the raw generator instead.
 
         Upsampler parity: `gan.generate(lowres)` positional works like the
         reference (README.md:148)."""
@@ -599,26 +604,19 @@ class GigaGAN:
             call_kwargs["batch_size"] = batch_size
 
         out = self.G.apply(
-            {"params": self._generate_params()},
+            {"params": self._generate_params(use_ema)},
             rngs={"noise": k_noise, "latent": k_latent},
             **call_kwargs,
         )
         return jax.device_get(out).astype(np.float32)
 
-    def save_sample(self, batch_size, dl_iter=None):
-        milestone = self.steps // self.save_and_sample_every
+    def _sample_images(self, batch_size, dl_iter, use_ema: bool):
         from gigagan_tpu.utils import num_to_groups
-
-        if self.train_upsampler:
-            dl_iter = default(self.sample_upsampler_dl_iter, dl_iter)
-        assert exists(dl_iter) or (
-            self.unconditional and not self.train_upsampler
-        )
 
         batches = num_to_groups(self.num_samples, batch_size)
         rows = []
         for n in batches:
-            gen_kwargs = dict(batch_size=n)
+            gen_kwargs = dict(batch_size=n, use_ema=use_ema)
             if self.train_upsampler or not self.unconditional:
                 result = next(dl_iter)
                 if self.unconditional:
@@ -651,71 +649,182 @@ class GigaGAN:
                 out = np.concatenate([up, out], axis=0)
             rows.append(out)
 
-        images = np.clip(np.concatenate(rows, axis=0), 0.0, 1.0)
+        return np.clip(np.concatenate(rows, axis=0), 0.0, 1.0)
+
+    def save_sample(self, batch_size, dl_iter=None):
+        milestone = self.steps // self.save_and_sample_every
+
+        if self.train_upsampler:
+            dl_iter = default(self.sample_upsampler_dl_iter, dl_iter)
+        assert exists(dl_iter) or (
+            self.unconditional and not self.train_upsampler
+        )
+
         nrow = int(sqrt(self.num_samples)) * (
             2 if self.train_upsampler else 1
         )
-        path = self.results_folder / f"sample-{milestone}.png"
-        save_image_grid(images, path, nrow=nrow)
+        # BOTH grids, like the reference (gigagan_pytorch.py:2642-2648):
+        # sample-{m}.png from the raw generator, ema-sample-{m}.png from EMA
+        variants = [("sample", False)]
+        if self.has_ema_generator:
+            variants.append(("ema-sample", True))
+        for prefix, use_ema in variants:
+            images = self._sample_images(batch_size, dl_iter, use_ema)
+            path = self.results_folder / f"{prefix}-{milestone}.png"
+            save_image_grid(images, path, nrow=nrow)
         self.save(self.model_folder / f"model-{milestone}.ckpt")
 
     # -------------------------------------------------------- checkpointing
 
     def save(self, path, overwrite=True):
-        """Checkpoint the full train state (params, opt states, EMA, step)
-        — msgpack single file (reference-style torch.save dict,
-        :2033-2064) or an orbax directory (async-capable, multi-host
+        """Checkpoint the full train state (params, opt states, EMA, step,
+        host RNG key) — msgpack single file (reference-style torch.save
+        dict, :2033-2064) or an orbax directory (async-capable, multi-host
         friendly)."""
         path = Path(path)
         path.parent.mkdir(exist_ok=True, parents=True)
         assert overwrite or not path.exists()
-        if self.checkpoint_backend == "orbax":
-            import orbax.checkpoint as ocp
-
-            state = jax.device_get(self.state)
-            with ocp.PyTreeCheckpointer() as ckptr:
-                ckptr.save(
-                    path.resolve(),
-                    serialization.to_state_dict(state),
-                    force=overwrite,
-                )
-            (path / "VERSION").write_text(gigagan_tpu.__version__)
-            return
         state = jax.device_get(self.state)
         payload = {
             "state": serialization.to_state_dict(state),
-            "version": gigagan_tpu.__version__,
+            # host RNG rides along so resume is bit-reproducible
+            # (SURVEY §5: params/opt-state/EMA/step + RNG key)
+            "rng": np.asarray(jax.device_get(self._rng)),
         }
+        if self.checkpoint_backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(path.resolve(), payload, force=overwrite)
+            (path / "VERSION").write_text(gigagan_tpu.__version__)
+            return
+        payload["version"] = gigagan_tpu.__version__
         path.write_bytes(serialization.msgpack_serialize(payload))
 
-    def load(self, path):
-        path = Path(path)
-        assert path.exists()
-        template = jax.device_get(self.state)
+    def _read_checkpoint(self, path):
+        """Returns (state_dict, rng or None, version or None)."""
         if self.checkpoint_backend == "orbax":
             import orbax.checkpoint as ocp
 
             version_file = path / "VERSION"
-            if version_file.exists() and (
-                version_file.read_text() != gigagan_tpu.__version__
-            ):
-                self.print(
-                    f"trying to load from version "
-                    f"{version_file.read_text()}"
-                )
+            version = (
+                version_file.read_text() if version_file.exists() else None
+            )
             with ocp.PyTreeCheckpointer() as ckptr:
                 restored = ckptr.restore(path.resolve())
             restored.pop("VERSION", None)
-            state = serialization.from_state_dict(template, restored)
-            self.state = parallel.replicate(state, self.mesh)
-            return
+            if "state" not in restored:  # round-1 layout: bare state dict
+                return restored, None, version
+            return restored["state"], restored.get("rng"), version
         payload = serialization.msgpack_restore(path.read_bytes())
-        if payload.get("version") != gigagan_tpu.__version__:
-            self.print(
-                f"trying to load from version {payload.get('version')}"
+        return payload["state"], payload.get("rng"), payload.get("version")
+
+    def load(self, path, strict: bool = False):
+        """Restore a checkpoint.
+
+        Default is tolerant, like the reference's `load` (strict=False
+        model load at :2066; optimizer-state reset on incompatibility at
+        :2087-2108): model/EMA leaves that match by path+shape are loaded,
+        mismatches keep the live value with a warning, and an optimizer
+        state that doesn't fit exactly is reset fresh instead of crashing.
+        """
+        path = Path(path)
+        assert path.exists()
+        template = jax.device_get(self.state)
+        restored_sd, rng, version = self._read_checkpoint(path)
+        if version is not None and version != gigagan_tpu.__version__:
+            self.print(f"trying to load from version {version}")
+
+        if strict:
+            state = serialization.from_state_dict(template, restored_sd)
+        else:
+            template_sd = serialization.to_state_dict(template)
+            merged = dict(template_sd)
+            skipped = []
+            model_keys = (
+                "g_params", "d_params", "ema", "vd_params", "vd_buffers",
+                "steps",
             )
-        state = serialization.from_state_dict(template, payload["state"])
+            for key in model_keys:
+                merged[key] = _merge_state_dicts(
+                    template_sd.get(key), restored_sd.get(key),
+                    skipped, key,
+                )
+            if skipped:
+                self.print(
+                    f"checkpoint load: kept live values for "
+                    f"{len(skipped)} incompatible leaves "
+                    f"(first: {skipped[0]})"
+                )
+
+            # optimizer states are all-or-nothing: reset on incompatibility
+            # (reference behavior, :2087-2108)
+            opt_specs = (
+                ("g_opt", "g_params", self.g_tx),
+                ("d_opt", "d_params", self.d_tx),
+                ("vd_opt", "vd_params", self.vd_tx),
+            )
+            for opt_key, params_key, tx in opt_specs:
+                if template_sd.get(opt_key) is None:
+                    continue
+                probe = []
+                candidate = _merge_state_dicts(
+                    template_sd[opt_key], restored_sd.get(opt_key),
+                    probe, opt_key,
+                )
+                if probe:
+                    self.print(
+                        f"unable to load {opt_key} state; {opt_key} "
+                        "will be reset to a fresh optimizer"
+                    )
+                    params = serialization.from_state_dict(
+                        getattr(template, params_key), merged[params_key]
+                    )
+                    candidate = serialization.to_state_dict(tx.init(params))
+                merged[opt_key] = candidate
+            state = serialization.from_state_dict(template, merged)
+
         self.state = parallel.replicate(state, self.mesh)
+        if rng is not None:
+            self._rng = jnp.asarray(np.asarray(rng))
+
+
+def _merge_state_dicts(template, restored, skipped: list, path: str):
+    """Tolerant (strict=False) merge of a restored state-dict subtree into
+    a template: leaves that match by path and shape are taken from the
+    checkpoint; everything else keeps the live value and is recorded in
+    `skipped` (the torch load_state_dict(strict=False) analogue)."""
+    if template is None:
+        if restored is not None:
+            skipped.append(f"{path} (unexpected in checkpoint)")
+        return None
+    if isinstance(template, dict):
+        if not isinstance(restored, dict):
+            if template:  # empty subtree matching None/{} is not a skip
+                skipped.append(
+                    f"{path} (missing from checkpoint)" if restored is None
+                    else f"{path} (structure mismatch)"
+                )
+            return template
+        out = {}
+        for k, tv in template.items():
+            out[k] = _merge_state_dicts(
+                tv, restored.get(k), skipped, f"{path}/{k}"
+            )
+        for k in restored:
+            if k not in template:
+                skipped.append(f"{path}/{k} (unexpected in checkpoint)")
+        return out
+    # leaf
+    if restored is None:
+        skipped.append(f"{path} (missing from checkpoint)")
+        return template
+    if np.shape(restored) != np.shape(template):
+        skipped.append(
+            f"{path} (shape {np.shape(restored)} != {np.shape(template)})"
+        )
+        return template
+    return restored
 
 
 def save_image_grid(images, path, nrow: int):

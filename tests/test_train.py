@@ -201,10 +201,153 @@ class TestTrainLoop:
         from gigagan_tpu.utils import cycle
 
         gan.save_sample(4, cycle(dl))
+        # BOTH grids, reference parity (gigagan_pytorch.py:2642-2648):
+        # raw-G sample-{m}.png and ema-sample-{m}.png
         samples = list((tmp / "results").glob("sample-*.png"))
         assert len(samples) >= 1
+        ema_samples = list((tmp / "results").glob("ema-sample-*.png"))
+        assert len(ema_samples) >= 1
         ckpts = list((tmp / "models").glob("model-*.ckpt"))
         assert len(ckpts) >= 1
+
+    def test_checkpoint_rng_roundtrip(self, trained):
+        gan, tmp = trained
+        ckpt = tmp / "rng.ckpt"
+        gan.save(ckpt)
+        rng_at_save = np.asarray(jax.device_get(gan._rng))
+
+        gan2 = tiny_gan(tmp, seed=999)
+        assert not np.array_equal(
+            np.asarray(jax.device_get(gan2._rng)), rng_at_save
+        )
+        gan2.load(ckpt)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(gan2._rng)), rng_at_save
+        )
+
+    def test_tolerant_load_resets_incompatible_optimizer(self, trained):
+        from flax import serialization
+
+        gan, tmp = trained
+        ckpt = tmp / "optbroken.ckpt"
+        gan.save(ckpt)
+        # corrupt the d_opt subtree (simulates an optimizer-config change)
+        payload = serialization.msgpack_restore(ckpt.read_bytes())
+        payload["state"]["d_opt"] = {"bogus": np.zeros((3,), np.float32)}
+        ckpt.write_bytes(serialization.msgpack_serialize(payload))
+
+        gan2 = tiny_gan(tmp, seed=123)
+        gan2.load(ckpt)  # must not crash (reference :2087-2108 behavior)
+        # model weights still restored
+        before = jax.device_get(gan.state.g_params)
+        after = jax.device_get(gan2.state.g_params)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_allclose(a, b)
+        assert gan2.steps == gan.steps
+
+    def test_tolerant_load_keeps_live_value_for_missing_leaf(self, trained):
+        from flax import serialization
+
+        gan, tmp = trained
+        ckpt = tmp / "missingleaf.ckpt"
+        gan.save(ckpt)
+        payload = serialization.msgpack_restore(ckpt.read_bytes())
+        # drop one whole g_params subtree
+        dropped = sorted(payload["state"]["g_params"])[0]
+        del payload["state"]["g_params"][dropped]
+        ckpt.write_bytes(serialization.msgpack_serialize(payload))
+
+        gan2 = tiny_gan(tmp, seed=123)
+        live = jax.device_get(gan2.state.g_params)
+        gan2.load(ckpt)
+        after = jax.device_get(gan2.state.g_params)
+        # dropped subtree keeps the live (gan2) values
+        for a, b in zip(
+            jax.tree.leaves(live[dropped]), jax.tree.leaves(after[dropped])
+        ):
+            np.testing.assert_allclose(a, b)
+        # a restored subtree matches gan's
+        other = next(k for k in sorted(after) if k != dropped)
+        saved = jax.device_get(gan.state.g_params)
+        for a, b in zip(
+            jax.tree.leaves(saved[other]), jax.tree.leaves(after[other])
+        ):
+            np.testing.assert_allclose(a, b)
+
+    def test_gp_chunk_matches_full_batch(self, tmp_path):
+        vals = {}
+        for chunk in (None, 2):
+            gan = tiny_gan(
+                tmp_path / f"c{chunk}", seed=0, gp_chunk=chunk
+            )
+            ds = MockImageDataset(IMAGE_SIZE, length=32, seed=0)
+            dl_iter = iter(ds.get_dataloader(8))
+            batch = gan._collect_batch(dl_iter, 1)
+            m = gan.train_discriminator_step(
+                batch, grad_accum_every=1,
+                apply_gradient_penalty=True, calc_multiscale_loss=True,
+            )
+            vals[chunk] = float(m["gradient_penalty"])
+        np.testing.assert_allclose(vals[None], vals[2], rtol=2e-4)
+
+
+class TestParallel:
+    def test_all_gather_batch_under_shard_map(self):
+        """Explicit contrastive-pool gather for shard_map contexts, with
+        gradient scatter back to the owning shard (reference
+        distributed.py:20-70 equivalence)."""
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from gigagan_tpu import parallel
+
+        shard_map = partial(shard_map, check_vma=False)
+        mesh = parallel.make_data_mesh()
+        n = jax.device_count()
+        x = jnp.arange(n * 2 * 3, dtype=jnp.float32).reshape(n * 2, 3)
+
+        def body(shard):
+            pool = L.all_gather_batch(shard, "data")
+            return pool
+
+        pooled = jax.jit(shard_map(
+            body, mesh=mesh, in_specs=P("data"), out_specs=P(None),
+        ))(x)
+        np.testing.assert_allclose(np.asarray(pooled), np.asarray(x))
+
+        # gradient scatters back to the owning rows; each shard's loss sums
+        # the GLOBAL pool, so d/dx picks up one term per device
+        def loss(shard):
+            pool = L.all_gather_batch(shard, "data")
+            return jnp.sum(pool ** 2)[None]
+
+        g = jax.jit(jax.grad(lambda t: jnp.sum(shard_map(
+            loss, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        )(t))))(x)
+        np.testing.assert_allclose(np.asarray(g), 2 * n * np.asarray(x))
+
+    def test_shard_batch_multiprocess_path(self, monkeypatch):
+        """shard_batch's process_count>1 branch
+        (make_array_from_process_local_data) produces the same global array
+        as the single-process device_put path."""
+        from jax.sharding import PartitionSpec as P
+
+        from gigagan_tpu import parallel
+
+        mesh = parallel.make_data_mesh()
+        n = jax.device_count()
+        batch = {"real_images": np.arange(n * 4, dtype=np.float32).reshape(
+            n, 4
+        )}
+        single = parallel.shard_batch(batch, mesh, P("data"))
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        multi = parallel.shard_batch(batch, mesh, P("data"))
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(single["real_images"])),
+            np.asarray(jax.device_get(multi["real_images"])),
+        )
 
 
 class TestConditionalTraining:
@@ -263,8 +406,49 @@ class TestConditionalTraining:
         assert gan.steps == 3
 
     def test_clip_dim_override(self, tmp_path):
-        # text_encodings of the right width flow through G and D
-        pass
+        """text_encodings of a non-default width (clip_dim=24, not CLIP's
+        512) flow through G and D end to end."""
+        from gigagan_tpu.models import Discriminator, Generator
+
+        clip_dim = 24
+        g = Generator(
+            image_size=IMAGE_SIZE, dim_capacity=4, dim_max=32,
+            dim_latent=16, style_network=dict(
+                dim=16, depth=1, dim_text_latent=16
+            ),
+            text_encoder=dict(dim=16, depth=1, clip_dim=clip_dim),
+            self_attn_resolutions=(), cross_attn_resolutions=(8,),
+            num_conv_kernels=2, unconditional=False,
+        )
+        enc = jnp.ones((2, 7, clip_dim), jnp.float32)
+        k = jax.random.PRNGKey(0)
+        variables = g.init(
+            {"params": k, "noise": k, "latent": k}, text_encodings=enc
+        )
+        out = g.apply(
+            variables, text_encodings=enc,
+            rngs={"noise": k, "latent": k},
+        )
+        assert out.shape == (2, IMAGE_SIZE, IMAGE_SIZE, 3)
+
+        d = Discriminator(
+            image_size=IMAGE_SIZE, dim_capacity=4, dim_max=32,
+            attn_resolutions=(), multiscale_input_resolutions=(8,),
+            aux_recon_resolutions=(), aux_recon_patch_dims=(),
+            aux_recon_frac_patches=(), num_conv_kernels=2,
+            unconditional=False,
+            text_encoder=dict(dim=16, depth=1, clip_dim=clip_dim),
+        )
+        images = jnp.ones((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
+        rgbs = d.real_images_to_rgbs(images)
+        d_vars = d.init(
+            {"params": k, "dropout": k}, images, rgbs, text_encodings=enc
+        )
+        logits, _, _ = d.apply(
+            d_vars, images, rgbs, text_encodings=enc,
+            rngs={"dropout": k},
+        )
+        assert np.isfinite(np.asarray(logits)).all()
 
 
 class TestUpsamplerTraining:
