@@ -85,7 +85,7 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = nn.LayerNorm(name="ln_1", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             qkv_features=self.width,
@@ -94,7 +94,7 @@ class ResidualAttentionBlock(nn.Module):
         )(h, h, mask=mask)
         x = x + h
 
-        h = nn.LayerNorm(name="ln_2", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=self.dtype)(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(h)
         h = quick_gelu(h) if self.quick_gelu_act else jax.nn.gelu(
             h, approximate=False
@@ -126,7 +126,7 @@ class CLIPTextTower(nn.Module):
                 dtype=self.dtype, name=f"resblock_{i}",
             )(x, mask=causal)
 
-        encodings = nn.LayerNorm(name="ln_final", dtype=self.dtype)(x)
+        encodings = nn.LayerNorm(epsilon=1e-5, name="ln_final", dtype=self.dtype)(x)
 
         # pooled feature at the EOS position (highest token id, open_clip
         # convention) projected to the joint space
@@ -175,7 +175,7 @@ class CLIPVisionTower(nn.Module):
             (1 + (cfg.image_size // cfg.patch_size) ** 2, cfg.vision_width),
         )
         x = x + pos[None, : x.shape[1]].astype(x.dtype)
-        x = nn.LayerNorm(name="ln_pre", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre", dtype=self.dtype)(x)
 
         taps = []
         for i in range(cfg.vision_layers):
@@ -185,7 +185,7 @@ class CLIPVisionTower(nn.Module):
             )(x)
             taps.append(x)
 
-        pooled = nn.LayerNorm(name="ln_post", dtype=self.dtype)(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, name="ln_post", dtype=self.dtype)(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(cfg.vision_width ** -0.5),
             (cfg.vision_width, cfg.embed_dim),
@@ -620,7 +620,9 @@ class OpenClipAdapter:
         from gigagan_tpu import ops
 
         if images.shape[-2] != self.image_size:
-            images = ops.resize_image_to(images, self.image_size)
+            # reference adapter resize: F.interpolate default
+            # mode=nearest (open_clip.py:126)
+            images = ops.resize_image_to(images, self.image_size, "nearest")
         mean = jnp.asarray(OPENAI_IMAGE_MEAN, images.dtype)
         std = jnp.asarray(OPENAI_IMAGE_STD, images.dtype)
         return (images - mean) / std

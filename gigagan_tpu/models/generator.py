@@ -265,10 +265,15 @@ class Generator(BaseGenerator):
                     (text_encodings, global_text_tokens, fine_text_tokens))
             )
 
-        # styles (reference: :1174-1180)
+        # styles (reference: :1174-1180).  Divergence: when conditional and
+        # no explicit noise/batch_size, the latent batch follows the text
+        # batch (the reference keeps batch_size=1 and crashes in the
+        # style-network concat, :1178-1180 — callers must thread batch_size)
         if not exists(styles):
             assert exists(self.style_net)
             if not exists(noise):
+                if exists(global_text_tokens):
+                    batch_size = global_text_tokens.shape[0]
                 key = self.make_rng("latent")
                 noise = jax.random.normal(
                     key, (batch_size, self.resolved_style_network_dim),

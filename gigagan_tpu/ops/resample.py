@@ -138,8 +138,63 @@ def downsample_hf_shuttle(x, *, is_video: bool, skip_downsample: bool):
     return pooled, hf
 
 
+def _torch_linear_axis(x, out_size: int, axis: int):
+    """torch F.interpolate linear semantics along one axis:
+    align_corners=False, antialias=False — source coordinate
+    max(0, (i + 0.5)·in/out − 0.5), two-tap lerp with edge clamp."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    scale = in_size / out_size
+    coords = jnp.maximum((jnp.arange(out_size) + 0.5) * scale - 0.5, 0.0)
+    lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    w = (coords - lo).astype(x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape)
+    return jnp.take(x, lo, axis=axis) * (1 - w) + \
+        jnp.take(x, hi, axis=axis) * w
+
+
+def _torch_nearest_axis(x, out_size: int, axis: int):
+    """torch F.interpolate mode='nearest' (the default mode — legacy
+    floor(i·in/out) source index, NOT 'nearest-exact')."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    idx = jnp.floor(jnp.arange(out_size) * (in_size / out_size))
+    idx = jnp.clip(idx.astype(jnp.int32), 0, in_size - 1)
+    return jnp.take(x, idx, axis=axis)
+
+
 def resize_image_to(images, size: int, method: str = "bilinear"):
-    """Resize (b, ..., h, w, c) so that h == w == size."""
+    """Resize (b, ..., h, w, c) so that h == w == size, with torch
+    `F.interpolate` semantics for strict reference parity:
+
+    - 'bilinear': align_corners=False, antialias=False (the reference's
+      `real_images_to_rgbs` / skip resizes, gigagan_pytorch.py:1683-1687,
+      unet_upsampler.py:653-655).  NOTE torch does NOT anti-alias on
+      downsample; `jax.image.resize` does — that divergence fed the D
+      different multiscale reals than the reference would (PARITY.md #11).
+    - 'nearest': torch's default F.interpolate mode (used by the reference
+      for upsampler lowres conditioning :2210, sample grids :2623, and the
+      CLIP adapter resize, open_clip.py:126).
+    - 'antialias': the old behavior (jax.image.resize bilinear) — opt-in
+      AA downsample, arguably better signal but not reference-parity.
+    """
+    if method in ("bilinear", "linear"):
+        h_ax, w_ax = images.ndim - 3, images.ndim - 2
+        return _torch_linear_axis(
+            _torch_linear_axis(images, size, h_ax), size, w_ax
+        )
+    if method == "nearest":
+        h_ax, w_ax = images.ndim - 3, images.ndim - 2
+        return _torch_nearest_axis(
+            _torch_nearest_axis(images, size, h_ax), size, w_ax
+        )
+    if method in ("antialias", "bilinear_antialias"):
+        method = "bilinear"
     shape = list(images.shape)
     shape[-3] = size
     shape[-2] = size
@@ -147,7 +202,9 @@ def resize_image_to(images, size: int, method: str = "bilinear"):
 
 
 def interpolate_1d(x, length: int, method: str = "linear"):
-    """(b, t, c) → (b, length, c) linear interpolation
-    (reference: unet_upsampler.py:77-80)."""
+    """(b, t, c) → (b, length, c) linear interpolation with torch
+    F.interpolate semantics (reference: unet_upsampler.py:77-80)."""
+    if method == "linear":
+        return _torch_linear_axis(x, length, 1)
     b, _, c = x.shape
     return jax.image.resize(x, (b, length, c), method=method)

@@ -164,7 +164,10 @@ class TrainStepBuilder:
             from gigagan_tpu import ops
 
             size = self.input_image_size
-            kwargs["lowres_image"] = ops.resize_image_to(real_images, size)
+            # reference :2210 uses F.interpolate default mode (nearest)
+            kwargs["lowres_image"] = ops.resize_image_to(
+                real_images, size, "nearest"
+            )
         else:
             kwargs["batch_size"] = real_images.shape[0]
         return self.G.apply(

@@ -630,8 +630,9 @@ class GigaGAN:
                     from gigagan_tpu import ops
 
                     size = self.G.input_image_size
+                    # reference :2210: F.interpolate default mode
                     lowres = ops.resize_image_to(
-                        jnp.asarray(real[:n]), size
+                        jnp.asarray(real[:n]), size, "nearest"
                     )
                     gen_kwargs["lowres_image"] = lowres
             out = self.generate(**gen_kwargs)
@@ -641,7 +642,8 @@ class GigaGAN:
                 up = np.asarray(
                     jax.device_get(
                         ops.resize_image_to(
-                            gen_kwargs["lowres_image"], out.shape[1]
+                            gen_kwargs["lowres_image"], out.shape[1],
+                            "nearest",  # reference :2623 default mode
                         )
                     ),
                     np.float32,

@@ -2,8 +2,13 @@
 
 Usage: python scripts/profile_step.py [batch ...]
 """
+import pathlib
 import sys
 import time
+
+# make the repo importable without PYTHONPATH (mutating PYTHONPATH breaks
+# the axon remote-compile helper subprocess, which inherits the env)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 

@@ -170,6 +170,173 @@ class TestWeightPort:
         assert np.isfinite(np.asarray(out_img)).all()
 
 
+class TestCLIPGoldenParity:
+    """Numerical golden parity of the flax CLIP against a torch CLIP
+    transcribed from open_clip's module definitions (the model surface the
+    reference consumes at open_clip.py:17-158).  One set of torch-initialized
+    weights flows through `map_open_clip_state_dict` into the flax towers,
+    then text embeds, token encodings, image embeds, and EVERY visual
+    resblock tap must match the torch forward to fp32 tolerance — proving
+    the checkpoint-port mapping and the flax forward simultaneously."""
+
+    @staticmethod
+    def _build_torch_clip(cfg, seed=0):
+        torch = pytest.importorskip("torch")
+        from collections import OrderedDict
+
+        class QuickGELU(torch.nn.Module):
+            def forward(self, x):
+                return x * torch.sigmoid(1.702 * x)
+
+        class Block(torch.nn.Module):
+            # open_clip ResidualAttentionBlock: pre-LN, packed-qkv
+            # nn.MultiheadAttention, c_fc -> QuickGELU -> c_proj
+            def __init__(self, d, h):
+                super().__init__()
+                self.ln_1 = torch.nn.LayerNorm(d)
+                self.attn = torch.nn.MultiheadAttention(d, h)
+                self.ln_2 = torch.nn.LayerNorm(d)
+                self.mlp = torch.nn.Sequential(OrderedDict([
+                    ("c_fc", torch.nn.Linear(d, d * 4)),
+                    ("gelu", QuickGELU()),
+                    ("c_proj", torch.nn.Linear(d * 4, d)),
+                ]))
+
+            def forward(self, x, attn_mask=None):
+                a = self.ln_1(x)
+                a = self.attn(a, a, a, need_weights=False,
+                              attn_mask=attn_mask)[0]
+                x = x + a
+                return x + self.mlp(self.ln_2(x))
+
+        class TorchCLIP(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.visual = torch.nn.Module()
+                self.visual.conv1 = torch.nn.Conv2d(
+                    3, cfg.vision_width, cfg.patch_size, cfg.patch_size,
+                    bias=False,
+                )
+                self.visual.class_embedding = torch.nn.Parameter(
+                    torch.empty(cfg.vision_width))
+                n_pos = 1 + (cfg.image_size // cfg.patch_size) ** 2
+                self.visual.positional_embedding = torch.nn.Parameter(
+                    torch.empty(n_pos, cfg.vision_width))
+                self.visual.ln_pre = torch.nn.LayerNorm(cfg.vision_width)
+                self.visual.transformer = torch.nn.Module()
+                self.visual.transformer.resblocks = torch.nn.ModuleList(
+                    Block(cfg.vision_width, cfg.vision_heads)
+                    for _ in range(cfg.vision_layers)
+                )
+                self.visual.ln_post = torch.nn.LayerNorm(cfg.vision_width)
+                self.visual.proj = torch.nn.Parameter(
+                    torch.empty(cfg.vision_width, cfg.embed_dim))
+
+                self.token_embedding = torch.nn.Embedding(
+                    cfg.vocab_size, cfg.text_width)
+                self.positional_embedding = torch.nn.Parameter(
+                    torch.empty(cfg.context_length, cfg.text_width))
+                self.transformer = torch.nn.Module()
+                self.transformer.resblocks = torch.nn.ModuleList(
+                    Block(cfg.text_width, cfg.text_heads)
+                    for _ in range(cfg.text_layers)
+                )
+                self.ln_final = torch.nn.LayerNorm(cfg.text_width)
+                self.text_projection = torch.nn.Parameter(
+                    torch.empty(cfg.text_width, cfg.embed_dim))
+                self.logit_scale = torch.nn.Parameter(
+                    torch.tensor(2.6593))
+
+            def encode_image(self, img):
+                v = self.visual
+                x = v.conv1(img)  # (b, w, gh, gw)
+                x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+                cls = v.class_embedding.to(x.dtype) + torch.zeros(
+                    x.shape[0], 1, x.shape[-1], dtype=x.dtype)
+                x = torch.cat([cls, x], dim=1)
+                x = x + v.positional_embedding.to(x.dtype)
+                x = v.ln_pre(x)
+                x = x.permute(1, 0, 2)  # NLD -> LND
+                taps = []
+                for blk in v.transformer.resblocks:
+                    x = blk(x)
+                    taps.append(x.permute(1, 0, 2))
+                x = x.permute(1, 0, 2)
+                return v.ln_post(x[:, 0, :]) @ v.proj, taps
+
+            def encode_text(self, ids):
+                x = self.token_embedding(ids)
+                x = x + self.positional_embedding[: ids.shape[1]]
+                x = x.permute(1, 0, 2)
+                n = ids.shape[1]
+                mask = torch.full((n, n), float("-inf")).triu(1)
+                for blk in self.transformer.resblocks:
+                    x = blk(x, attn_mask=mask)
+                x = x.permute(1, 0, 2)
+                enc = self.ln_final(x)
+                pooled = enc[torch.arange(enc.shape[0]),
+                             ids.argmax(dim=-1)] @ self.text_projection
+                return pooled, enc
+
+        model = TorchCLIP()
+        g = torch.Generator().manual_seed(seed)
+        with torch.no_grad():
+            for name, p in model.named_parameters():
+                if name == "logit_scale":
+                    continue
+                p.copy_(torch.randn(p.shape, generator=g) * 0.04)
+        return torch, model.eval()
+
+    def test_towers_match_torch(self):
+        torch, tmodel = self._build_torch_clip(TINY, seed=3)
+        np_sd = {
+            k: v.float().numpy() for k, v in tmodel.state_dict().items()
+        }
+        params = jax.tree.map(
+            jnp.asarray, map_open_clip_state_dict(np_sd, TINY)
+        )
+        model = CLIPModel(TINY)
+
+        rng = np.random.default_rng(7)
+        imgs = rng.uniform(size=(3, 32, 32, 3)).astype(np.float32)
+        ids = np.zeros((3, TINY.context_length), np.int32)
+        ids[0, :4] = [SOT_ID, 11, 23, EOT_ID]
+        ids[1, :6] = [SOT_ID, 100, 200, 300, 400, EOT_ID]
+        ids[2, :3] = [SOT_ID, 5, EOT_ID]
+
+        with torch.no_grad():
+            t_img, t_taps = tmodel.encode_image(
+                torch.from_numpy(imgs).permute(0, 3, 1, 2)
+            )
+            t_txt, t_enc = tmodel.encode_text(torch.from_numpy(ids).long())
+
+        j_img, j_taps = model.apply(
+            {"params": params}, jnp.asarray(imgs),
+            method=CLIPModel.encode_image,
+        )
+        j_txt, j_enc = model.apply(
+            {"params": params}, jnp.asarray(ids),
+            method=CLIPModel.encode_text,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(j_img), t_img.numpy(), rtol=2e-4, atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_txt), t_txt.numpy(), rtol=2e-4, atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_enc), t_enc.numpy(), rtol=2e-4, atol=5e-5
+        )
+        assert j_taps.shape[0] == TINY.vision_layers
+        for layer, t_tap in enumerate(t_taps):
+            np.testing.assert_allclose(
+                np.asarray(j_taps[layer]), t_tap.numpy(),
+                rtol=2e-4, atol=5e-5,
+                err_msg=f"visual tap {layer} diverged",
+            )
+
+
 class TestVisionAidedDiscriminator:
     def test_unconditional(self, adapter):
         vd = VisionAidedDiscriminator(

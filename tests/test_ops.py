@@ -182,3 +182,62 @@ class TestResample:
         x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
         out = ops.resize_image_to(x, 8)
         assert out.shape == (2, 8, 8, 3)
+
+
+class TestResizeTorchParity:
+    """resize_image_to must match torch F.interpolate EXACTLY (the
+    reference resizes reals with it: bilinear for multiscale rgbs
+    gigagan_pytorch.py:1683-1687, default-nearest for lowres conditioning
+    :2210 and the CLIP adapter open_clip.py:126).  PARITY.md #11 closure."""
+
+    @pytest.fixture(scope="class")
+    def torch(self):
+        return pytest.importorskip("torch")
+
+    @pytest.mark.parametrize("src,dst", [
+        (256, 64), (64, 256), (16, 8), (8, 16), (224, 224), (17, 5),
+        (32, 224),
+    ])
+    def test_bilinear_matches_f_interpolate(self, torch, src, dst):
+        rng = np.random.default_rng(src * 1000 + dst)
+        x = rng.standard_normal((2, src, src, 3)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), (dst, dst),
+            mode="bilinear", align_corners=False, antialias=False,
+        ).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(ops.resize_image_to(jnp.asarray(x), dst,
+                                             "bilinear"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("src,dst", [
+        (256, 64), (64, 256), (17, 5), (32, 224), (256, 224),
+    ])
+    def test_nearest_matches_f_interpolate_default(self, torch, src, dst):
+        rng = np.random.default_rng(src + dst)
+        x = rng.standard_normal((1, src, src, 2)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), (dst, dst),
+        ).permute(0, 2, 3, 1).numpy()  # mode unset == torch default
+        got = np.asarray(ops.resize_image_to(jnp.asarray(x), dst,
+                                             "nearest"))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("src,dst", [(8, 16), (16, 8), (7, 13)])
+    def test_interpolate_1d_matches(self, torch, src, dst):
+        rng = np.random.default_rng(src * 31 + dst)
+        x = rng.standard_normal((2, src, 4)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 2, 1), dst,
+            mode="linear", align_corners=False,
+        ).permute(0, 2, 1).numpy()
+        got = np.asarray(
+            ops.resample.interpolate_1d(jnp.asarray(x), dst)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_antialias_mode_still_available(self):
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3))
+        aa = ops.resize_image_to(x, 8, "antialias")
+        non_aa = ops.resize_image_to(x, 8, "bilinear")
+        assert aa.shape == non_aa.shape == (1, 8, 8, 3)
+        assert not np.allclose(np.asarray(aa), np.asarray(non_aa))

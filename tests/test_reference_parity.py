@@ -527,6 +527,71 @@ class TestDiscriminatorParity:
             r = t2n(m_ref).reshape(s_prev, b, *m_ref.shape[2:])
             np.testing.assert_allclose(a, r, rtol=2e-3, atol=2e-3)
 
+    def test_full_forward_from_real_images(self, ref):
+        """End-to-end golden parity feeding real IMAGES (not pre-made rgb
+        tensors): each side derives its own multiscale rgbs via its
+        `real_images_to_rgbs` (reference F.interpolate bilinear,
+        gigagan_pytorch.py:1683-1687).  Closes PARITY.md #11 — the resize
+        itself is now part of the verified surface."""
+        torch.manual_seed(0)
+        kwargs = dict(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=64,
+            attn_resolutions=(),
+            multiscale_input_resolutions=(16, 8),
+            aux_recon_resolutions=(),
+            aux_recon_patch_dims=(),
+            aux_recon_frac_patches=(),
+            num_conv_kernels=2,
+            unconditional=True,
+        )
+        ref_d = ref.Discriminator(**kwargs)
+        ref_d.eval()
+
+        from gigagan_tpu.models import Discriminator
+
+        ours = Discriminator(**kwargs)
+
+        b = 2
+        torch.manual_seed(7)
+        images_t = torch.rand(b, 3, IMAGE_SIZE, IMAGE_SIZE)
+        images = jnp.asarray(t2n(images_t).transpose(0, 2, 3, 1))
+
+        rgbs_t = ref_d.real_images_to_rgbs(images_t)
+        rgbs = ours.real_images_to_rgbs(images)
+        for r_ours, r_ref in zip(rgbs, rgbs_t):
+            np.testing.assert_allclose(
+                np.asarray(r_ours), t2n(r_ref).transpose(0, 2, 3, 1),
+                rtol=1e-5, atol=1e-5,
+            )
+
+        template = ours.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            images, rgbs,
+        )["params"]
+        params = port_discriminator_params(ref_d, jax.device_get(template))
+
+        with torch.no_grad():
+            logits_ref, ms_ref, _ = ref_d(
+                images_t, rgbs_t, calc_aux_loss=False
+            )
+        logits, ms, _ = ours.apply(
+            {"params": params}, images, rgbs, calc_aux_loss=False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), t2n(logits_ref), rtol=2e-3, atol=2e-3
+        )
+        for m_ours, m_ref in zip(ms, ms_ref):
+            s_prev = m_ref.shape[0] // b
+            a = np.asarray(m_ours)[..., 0].reshape(
+                b, s_prev, *m_ours.shape[1:3]
+            ).transpose(1, 0, 2, 3)
+            r = t2n(m_ref).reshape(s_prev, b, *m_ref.shape[2:])
+            np.testing.assert_allclose(a, r, rtol=2e-3, atol=2e-3)
+
 
 # ------------------------------------------------------ upsampler parity
 
