@@ -13,7 +13,12 @@ number when one exists.
 """
 
 import json
+import os
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import jax
 import jax.numpy as jnp
@@ -24,12 +29,14 @@ from gigagan_tpu.utils import cycle
 
 A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE = 30.0
 
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+GP_CHUNK = os.environ.get("BENCH_GP_CHUNK")
 STEPS_TIMED = 8
 
 
 def main():
     gan = GigaGAN(
+        gp_chunk=int(GP_CHUNK) if GP_CHUNK else None,
         generator=dict(
             dim_capacity=8,
             style_network=dict(dim=64, depth=4),

@@ -34,17 +34,21 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
     Lipschitz trick, reference: :576-580), expanded as 2qk − |q|² − |k|² so
     the dominant term stays a single MXU matmul.
 
-    use_flash=True routes to the fused Pallas kernel
-    (ops/pallas/flash_attention.py), which keeps sim/attn in VMEM.  It is
-    numerically verified on TPU but measured at parity with XLA's attention
-    at GigaGAN's sizes (DESIGN.md), so the default stays on the XLA path;
-    the kernel's VJP is also first-order (no R1 double-backward).
+    use_flash routes to the fused Pallas kernel
+    (ops/pallas/flash_attention.py), which keeps sim/attn in VMEM and saves
+    row log-sum-exp for a single-pass backward.  Default (None) dispatches
+    automatically: flash on TPU at the sizes where it measurably beats XLA
+    (1024+ query tokens — the 32x32 feature-map attentions), XLA otherwise;
+    R1 double-backward traces disable it via `flash_disabled()` because the
+    kernel's VJP is first-order.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
     if use_flash is None:
-        use_flash = False
+        from gigagan_tpu.ops.pallas.flash_attention import flash_auto
+
+        use_flash = flash_auto(q, k)
     if use_flash:
         from gigagan_tpu.ops.pallas.flash_attention import flash_attend
 

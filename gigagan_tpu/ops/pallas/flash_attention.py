@@ -14,15 +14,22 @@ gigagan_pytorch.py:573-590):
   kernel computes scale·(2qk - k²), mathematically identical attention.
 - key-padding masks (True = attend)
 
-Backward is a custom VJP with two kernels:
-- dq: per q-tile, recompute the tile's attention row-block in VMEM
-- dk/dv: kv blocks stay resident while the q-tile grid accumulates
+Backward is a SINGLE-PASS custom VJP kernel: the forward saves the row
+log-sum-exp (lse), so the backward rebuilds each attention tile with one
+exp (no max/sum reductions), computes the softmax-Jacobian contraction with
+the standard delta trick (delta = rowsum(g ⊙ out), computed by XLA outside
+the kernel), and emits dq per q-tile while dk/dv accumulate in registers
+with K/V resident — 5 MXU matmuls total (sim, dattn, dq, dv, dk), versus
+7 + two softmax reductions for the previous two-kernel recompute design,
+and zero (n, n) HBM traffic versus XLA's materialized backward.
 Like the adaptive-conv kernel it is first-order; R1 double-backward paths
 trace under `ops.adaptive_conv.pallas_disabled()` and fall back to XLA.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -32,6 +39,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gigagan_tpu.ops.pallas.adaptive_conv import pallas_supported
+
+# The flash VJP is FIRST-order (its backward contains raw pallas_calls), so
+# R1 double-backward traces must opt out: steps.py wraps the vjp'd D apply
+# in `flash_disabled()`.  Separate from the adaptive-conv override — the
+# fused convs ARE differentiation-closed and stay on for GP steps.
+_FLASH_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "gigagan_flash_override", default=None
+)
+
+
+@contextlib.contextmanager
+def flash_disabled():
+    token = _FLASH_OVERRIDE.set(False)
+    try:
+        yield
+    finally:
+        _FLASH_OVERRIDE.reset(token)
+
+
+def flash_auto(q, k) -> bool:
+    """Default dispatch: the fused kernel on TPU for the sizes where it
+    measurably beats XLA (bwd 4.5ms vs 6.1ms at (8,8,1024,64) on v5e —
+    DESIGN.md), unless a flash_disabled() trace is active."""
+    override = _FLASH_OVERRIDE.get()
+    if override is not None:
+        return bool(override)
+    return (
+        pallas_supported()
+        and q.shape[-1] <= 128
+        and q.shape[-2] >= 1024
+        and k.shape[-2] >= 128
+    )
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -64,8 +103,8 @@ def _q_chunks(nq, nk, budget_bytes=2 * 1024 * 1024):
     return rows
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, l2_dist, scale,
-                chunk):
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, l2_dist,
+                scale, chunk):
     bh = pl.program_id(0)
     k = k_ref[0]
     v = v_ref[0]
@@ -73,46 +112,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, l2_dist, scale,
     for r0 in range(0, nq, chunk):
         q = q_ref[0, r0 : r0 + chunk]
         sim = _sim_tile(q, k, mask_ref[bh], l2_dist=l2_dist, scale=scale)
-        attn = jax.nn.softmax(sim, axis=-1)
+        m = jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        attn = e / s
+        # row log-sum-exp, saved for the single-pass backward
+        lse_ref[0, 0, r0 : r0 + chunk] = (m + jnp.log(s))[:, 0]
         o_ref[0, r0 : r0 + chunk] = jax.lax.dot_general(
             attn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, *,
-                   l2_dist, scale, chunk):
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, delta_ref,
+                dq_ref, dk_ref, dv_ref, *, l2_dist, scale, chunk):
+    """Single pass: per q-tile rebuild attn from the saved lse (one exp),
+    write the dq tile, accumulate dk/dv with K/V resident."""
     bh = pl.program_id(0)
     k = k_ref[0]
     v = v_ref[0]
     mask_row = mask_ref[bh]
     coeff = 2.0 * scale if l2_dist else scale
-    nq = q_ref.shape[1]
-    for r0 in range(0, nq, chunk):
-        q = q_ref[0, r0 : r0 + chunk]
-        g = g_ref[0, r0 : r0 + chunk]
-        sim = _sim_tile(q, k, mask_row, l2_dist=l2_dist, scale=scale)
-        attn = jax.nn.softmax(sim, axis=-1)
-        dattn = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dsim = attn * (
-            dattn - jnp.sum(attn * dattn, axis=-1, keepdims=True)
-        )
-        dq = coeff * jax.lax.dot_general(
-            dsim.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dq_ref[0, r0 : r0 + chunk] = dq.astype(dq_ref.dtype)
-
-
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dk_ref, dv_ref,
-                    *, l2_dist, scale, chunk):
-    bh = pl.program_id(0)
-    k = k_ref[0]
-    v = v_ref[0]
-    mask_row = mask_ref[bh]
     nq = q_ref.shape[1]
     nk, d = k.shape
 
@@ -123,17 +143,23 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dk_ref, dv_ref,
         q = q_ref[0, r0 : r0 + chunk]
         g = g_ref[0, r0 : r0 + chunk]
         sim = _sim_tile(q, k, mask_row, l2_dist=l2_dist, scale=scale)
-        attn = jax.nn.softmax(sim, axis=-1)
-        dv_acc = dv_acc + jax.lax.dot_general(
-            attn.astype(g.dtype), g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        lse = lse_ref[0, 0, r0 : r0 + chunk]
+        attn = jnp.exp(sim - lse[:, None])
         dattn = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dsim = attn * (
-            dattn - jnp.sum(attn * dattn, axis=-1, keepdims=True)
+        # delta trick: rowsum(attn ⊙ dattn) == rowsum(g ⊙ out), precomputed
+        delta = delta_ref[0, 0, r0 : r0 + chunk]
+        dsim = attn * (dattn - delta[:, None])
+        dq = coeff * jax.lax.dot_general(
+            dsim.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, r0 : r0 + chunk] = dq.astype(dq_ref.dtype)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            attn.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dst_q = dst_q + jax.lax.dot_general(
             dsim.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -175,11 +201,8 @@ def _prep(q, k, v, mask):
     return qf, kf, vf, mask_bh, (b, h, nq, nk, d)
 
 
-def _call(kernel, out_shapes, qf, kf, vf, mask_bh, g=None, *, interpret):
-    bh, nq, d = qf.shape
-    nk = kf.shape[1]
-    inputs = [qf, kf, vf, mask_bh] + ([g] if g is not None else [])
-    in_specs = [
+def _qkv_specs(bh, nq, nk, d):
+    return [
         pl.BlockSpec((1, nq, d), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, nk, d), lambda i: (i, 0, 0),
@@ -188,33 +211,12 @@ def _call(kernel, out_shapes, qf, kf, vf, mask_bh, g=None, *, interpret):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bh, nk), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    if g is not None:
-        in_specs.append(
-            pl.BlockSpec((1, nq, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-    out_specs = tuple(
-        pl.BlockSpec((1,) + s[1:], lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for s in out_shapes
-    )
-    out_shape = tuple(jax.ShapeDtypeStruct(s, qf.dtype) for s in out_shapes)
-    single = len(out_shapes) == 1
-    result = pl.pallas_call(
-        kernel,
-        grid=(bh,),
-        in_specs=in_specs,
-        out_specs=out_specs[0] if single else out_specs,
-        out_shape=out_shape[0] if single else out_shape,
-        interpret=interpret,
-    )(*inputs)
-    return result
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attend(q, k, v, mask, l2_dist=False, scale=None, interpret=None):
     """Fused attention; q (b,h,nq,d), k/v (b,h,nk,d), mask (b,nk) or None."""
-    out, _ = _flash_fwd_impl(q, k, v, mask, l2_dist, scale, interpret)
+    out, _, _ = _flash_fwd_impl(q, k, v, mask, l2_dist, scale, interpret)
     return out
 
 
@@ -223,45 +225,80 @@ def _flash_fwd_impl(q, k, v, mask, l2_dist, scale, interpret):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     qf, kf, vf, mask_bh, (b, h, nq, nk, d) = _prep(q, k, v, mask)
-    chunk = _q_chunks(qf.shape[1], kf.shape[1])
-    out = _call(
+    bh, nq_pad, _ = qf.shape
+    nk_pad = kf.shape[1]
+    chunk = _q_chunks(nq_pad, nk_pad)
+    # (bh, 1, nq) with full trailing dims keeps the block TPU-legal (the
+    # last two dims must be (8,128)-divisible or equal the array dims)
+    row_spec = pl.BlockSpec((1, 1, nq_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, l2_dist=l2_dist, scale=scale,
                           chunk=chunk),
-        [(qf.shape[0], qf.shape[1], d)],
-        qf, kf, vf, mask_bh, interpret=interpret,
-    )
-    out = out[:, :nq].reshape(b, h, nq, d)
-    return out, (q, k, v, mask)
+        grid=(bh,),
+        in_specs=_qkv_specs(bh, nq_pad, nk_pad, d),
+        out_specs=(
+            pl.BlockSpec((1, nq_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_pad, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, mask_bh)
+    out_full = out[:, :nq].reshape(b, h, nq, d)
+    return out_full, out, lse
 
 
 def _flash_fwd(q, k, v, mask, l2_dist, scale, interpret):
-    return _flash_fwd_impl(q, k, v, mask, l2_dist, scale, interpret)
+    out_full, out_flat, lse = _flash_fwd_impl(
+        q, k, v, mask, l2_dist, scale, interpret
+    )
+    return out_full, (q, k, v, mask, out_flat, lse)
 
 
 def _flash_bwd(l2_dist, scale, interpret, residuals, g):
-    q, k, v, mask = residuals
+    q, k, v, mask, out_flat, lse = residuals
     interpret = (not pallas_supported()) if interpret is None else interpret
     if scale is None:
         scale = q.shape[-1] ** -0.5
     qf, kf, vf, mask_bh, (b, h, nq, nk, d) = _prep(q, k, v, mask)
-    gf = g.reshape(b * h, nq, d)
-    if qf.shape[1] != nq:
-        gf = jnp.pad(gf, ((0, 0), (0, qf.shape[1] - nq), (0, 0)))
+    bh, nq_pad, _ = qf.shape
+    nk_pad = kf.shape[1]
+    gf = g.reshape(bh, nq, d)
+    if nq_pad != nq:
+        gf = jnp.pad(gf, ((0, 0), (0, nq_pad - nq), (0, 0)))
     gf = gf.astype(qf.dtype)
+    # delta trick: rowsum(attn ⊙ dattn) == rowsum(g ⊙ out) — cheap XLA
+    # elementwise+reduce, fused with the surrounding graph
+    delta = jnp.sum(
+        gf.astype(jnp.float32) * out_flat.astype(jnp.float32), axis=-1
+    )[:, None, :]
 
-    chunk = _q_chunks(qf.shape[1], kf.shape[1])
-    dq = _call(
-        functools.partial(_bwd_dq_kernel, l2_dist=l2_dist, scale=scale,
+    chunk = _q_chunks(nq_pad, nk_pad)
+    row_spec = pl.BlockSpec((1, 1, nq_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    qtile_spec = pl.BlockSpec((1, nq_pad, d), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    kvtile_spec = pl.BlockSpec((1, nk_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, l2_dist=l2_dist, scale=scale,
                           chunk=chunk),
-        [(qf.shape[0], qf.shape[1], d)],
-        qf, kf, vf, mask_bh, gf, interpret=interpret,
-    )
-    dk, dv = _call(
-        functools.partial(_bwd_dkv_kernel, l2_dist=l2_dist, scale=scale,
-                          chunk=chunk),
-        [(qf.shape[0], kf.shape[1], d), (qf.shape[0], kf.shape[1], d)],
-        qf, kf, vf, mask_bh, gf, interpret=interpret,
-    )
+        grid=(bh,),
+        in_specs=_qkv_specs(bh, nq_pad, nk_pad, d)
+        + [qtile_spec, row_spec, row_spec],
+        out_specs=(qtile_spec, kvtile_spec, kvtile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_pad, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), qf.dtype),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, mask_bh, gf, lse, delta)
+
     dq = dq[:, :nq].reshape(b, h, nq, d).astype(q.dtype)
     dk = dk[:, :nk].reshape(b, h, nk, d).astype(k.dtype)
     dv = dv[:, :nk].reshape(b, h, nk, d).astype(v.dtype)

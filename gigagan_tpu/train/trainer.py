@@ -45,13 +45,13 @@ from gigagan_tpu.models.generator import BaseGenerator
 from gigagan_tpu.train.ema import EMAState
 from gigagan_tpu.train.optimizer import get_optimizer
 from gigagan_tpu.train.steps import GANState, TrainStepBuilder
+from gigagan_tpu.utils import cycle, default, divisible_by, exists
+from gigagan_tpu.utils.profiling import StepTimer, trace
 
 
 def real_batch_size(batch) -> int:
     r = batch["real_images"]
     return int(r.shape[0] * r.shape[1])
-from gigagan_tpu.utils import cycle, default, divisible_by, exists
-from gigagan_tpu.utils.profiling import StepTimer, trace
 
 
 def _promote(value, klass, **extra):
@@ -177,6 +177,12 @@ class GigaGAN:
             if exists(self.VD)
             else None
         )
+
+        # persistent compile cache: the step variants compile in minutes at
+        # large batch — later processes must hit disk, not XLA
+        from gigagan_tpu.utils.profiling import enable_compile_cache
+
+        enable_compile_cache()
 
         # mesh + state init
         self.mesh = default(mesh, parallel.make_data_mesh())

@@ -9,6 +9,7 @@ from gigagan_tpu.utils.helpers import (
     cycle,
     ModTable,
 )
+from gigagan_tpu.utils.profiling import enable_compile_cache  # noqa: F401
 from gigagan_tpu.utils.init import (
     kaiming_normal_leaky,
     kaiming_normal_linear_fan_out,

@@ -212,3 +212,61 @@ class TestFlashAttention:
                 a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
                 err_msg=f"d{name} mismatch",
             )
+
+
+class TestFlashAutoDispatch:
+    """attend(use_flash=None) dispatch rules: flash only on TPU at winning
+    sizes (≥1024 query tokens), never inside a flash_disabled() trace (the
+    flash VJP is first-order; R1 double-backward needs second order)."""
+
+    def test_auto_false_off_tpu(self):
+        from gigagan_tpu.ops.pallas import flash_attention as fa
+
+        q = jnp.zeros((1, 2, 2048, 64))
+        k = jnp.zeros((1, 2, 2048, 64))
+        if jax.devices()[0].platform == "tpu":
+            pytest.skip("CPU-dispatch test")
+        assert fa.flash_auto(q, k) is False
+
+    def test_auto_respects_size_gate(self, monkeypatch):
+        from gigagan_tpu.ops.pallas import flash_attention as fa
+
+        monkeypatch.setattr(fa, "pallas_supported", lambda: True)
+        big_q = jnp.zeros((1, 2, 1024, 64))
+        big_k = jnp.zeros((1, 2, 1024, 64))
+        small_q = jnp.zeros((1, 2, 256, 64))
+        text_k = jnp.zeros((1, 2, 77, 64))
+        wide_q = jnp.zeros((1, 2, 2048, 256))
+        assert fa.flash_auto(big_q, big_k) is True
+        assert fa.flash_auto(small_q, big_k) is False  # 256 tokens: XLA
+        assert fa.flash_auto(big_q, text_k) is False   # tiny kv: XLA
+        assert fa.flash_auto(wide_q, big_k) is False   # d>128: XLA
+
+    def test_flash_disabled_wins(self, monkeypatch):
+        from gigagan_tpu.ops.pallas import flash_attention as fa
+
+        monkeypatch.setattr(fa, "pallas_supported", lambda: True)
+        q = jnp.zeros((1, 2, 1024, 64))
+        with fa.flash_disabled():
+            assert fa.flash_auto(q, q) is False
+        assert fa.flash_auto(q, q) is True
+
+    def test_second_order_grad_through_attend_auto(self):
+        """grad-of-grad through attend with default dispatch must work on
+        every platform — the steps' R1 path relies on flash_disabled()
+        around its vjp traces, and the XLA path is ∞-differentiable."""
+        from gigagan_tpu.ops.attention import attend
+        from gigagan_tpu.ops.pallas.flash_attention import flash_disabled
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 8))
+
+        def inner(x):
+            with flash_disabled():
+                out, vjp = jax.vjp(
+                    lambda t: attend(t, t, t), x
+                )
+                (gx,) = vjp(jnp.ones_like(out))
+            return jnp.sum(gx * gx)
+
+        gg = jax.grad(inner)(q)
+        assert jnp.all(jnp.isfinite(gg))

@@ -788,3 +788,33 @@ class TestUpsamplerParity:
                 rtol=5e-3, atol=5e-4,
                 err_msg=f"upsampler rgb level {i}",
             )
+
+
+class TestReferenceVideoDefect:
+    def test_reference_video_path_crashes_upstream(self, ref):
+        """Documents WHY the video path has no golden parity test: the
+        reference's own video forward crashes (mod-table registration order
+        does not match the temporal blocks' consumption order — PARITY.md
+        defect #8; ResnetBlock extends style_dims at construction,
+        unet_upsampler.py:285-292, but the down-path consumes temporal mods
+        in a different order, :748-762).  Our implementation registers mod
+        slots in consumption order and runs (tests/test_upsampler.py).
+        If an upstream fix ever lands, this test fails and a real golden
+        video test should replace it."""
+        from gigagan_pytorch.unet_upsampler import UnetUpsampler as RefUp
+
+        torch.manual_seed(0)
+        u = RefUp(
+            dim=8, image_size=32, input_image_size=8, dim_mults=(1, 2),
+            full_attn=(False, True), cross_attn=(False, True),
+            attn_depths=(1, 1), temporal_attn_depths=(1, 1),
+            self_attn_dim_head=8, self_attn_heads=2, cross_attn_dim_head=8,
+            num_conv_kernels=2, unconditional=True,
+            has_temporal_layers=True,
+            style_network=dict(dim=STYLE_DIM, depth=2),
+        )
+        u.eval()
+        video = torch.rand(2, 3, 4, 8, 8)
+        lat = torch.randn(2, STYLE_DIM)
+        with torch.no_grad(), pytest.raises(RuntimeError):
+            u(video, noise=lat)
