@@ -438,7 +438,16 @@ class TrainStepBuilder:
                         + jnp.sum(sample_sq_norms(g_f))
                     return acc, None
 
-                total_sq, _ = lax.scan(gp_body, jnp.asarray(0.0), scan_in)
+                # remat the body: without it the scan SAVES each chunk's
+                # vjp residuals for the outer backward — the whole point of
+                # chunking (bounding the live double-backward graph to one
+                # chunk) is lost and HBM use exceeds the unchunked vjp
+                # (measured 47.9G vs 30.9G at microbatch 16 on v5e).  With
+                # remat each chunk's inner D graph is rebuilt during the
+                # outer backward, sequentially.
+                total_sq, _ = lax.scan(
+                    jax.checkpoint(gp_body), jnp.asarray(0.0), scan_in
+                )
                 gp_loss = 10.0 * total_sq / b
 
         aux_loss = jnp.asarray(0.0)

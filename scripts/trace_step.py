@@ -1,0 +1,87 @@
+"""Capture a jax.profiler device trace of the d/g steps and print the top
+ops by device time.  Usage: python scripts/trace_step.py [batch]"""
+import glob
+import gzip
+import json
+import pathlib
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+
+from gigagan_tpu.data import MockImageDataset
+from gigagan_tpu.train import GigaGAN
+from gigagan_tpu.utils import cycle
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+TRACE_DIR = "/tmp/gigagan_trace"
+
+gan = GigaGAN(
+    generator=dict(
+        dim_capacity=8, style_network=dict(dim=64, depth=4), image_size=256,
+        dim_max=512, num_skip_layers_excite=4, unconditional=True,
+    ),
+    discriminator=dict(
+        dim_capacity=16, dim_max=512, image_size=256,
+        num_skip_layers_excite=4, unconditional=True,
+    ),
+    amp=True,
+    model_folder="/tmp/gigagan-trace/models",
+    results_folder="/tmp/gigagan-trace/results",
+    log_steps_every=10 ** 9, save_and_sample_every=10 ** 9,
+    early_save_thres_steps=0, seed=0,
+)
+ds = MockImageDataset(256, length=max(2 * B, 16), seed=0)
+dl = cycle(ds.get_dataloader(B))
+batch = gan._collect_batch(dl, 1)
+
+
+def one(i):
+    gan.train_discriminator_step(
+        batch, grad_accum_every=1, apply_gradient_penalty=False,
+        calc_multiscale_loss=True,
+    )
+    gan.train_generator_step(
+        batch, grad_accum_every=1, calc_multiscale_loss=True,
+    )
+
+
+one(0)  # compile
+jax.block_until_ready(gan.state.g_params)
+
+with jax.profiler.trace(TRACE_DIR):
+    for i in range(3):
+        one(i)
+    jax.block_until_ready(gan.state.g_params)
+
+# ------- parse the perfetto trace for device-track op durations
+files = sorted(glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True))
+print("trace files:", files, flush=True)
+if not files:
+    sys.exit(0)
+with gzip.open(files[-1], "rt") as f:
+    data = json.load(f)
+
+events = data.get("traceEvents", [])
+# find device-side tracks (TensorCore); host threads excluded
+pid_names = {}
+for e in events:
+    if e.get("ph") == "M" and e.get("name") == "process_name":
+        pid_names[e["pid"]] = e["args"].get("name", "")
+device_pids = {p for p, n in pid_names.items()
+               if "TPU" in n or "Device" in n or "/device" in n.lower()}
+print("processes:", pid_names, flush=True)
+
+agg = defaultdict(float)
+total = 0.0
+for e in events:
+    if e.get("ph") == "X" and e.get("pid") in device_pids:
+        name = e.get("name", "?")
+        dur = e.get("dur", 0) / 1e3  # ms
+        agg[name] += dur
+        total += dur
+print(f"total device time over 3 iters: {total:.1f}ms")
+for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
+    print(f"{ms:9.2f}ms  {name[:110]}")
