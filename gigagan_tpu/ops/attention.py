@@ -55,10 +55,15 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
         return flash_attend(q, k, v, mask, l2_dist, scale)
 
     out_dtype = q.dtype
-    qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
-
-    sim = jnp.einsum("bhid,bhjd->bhij", qf, kf)
+    # matmuls stay in the operand dtype (bf16 under amp → full MXU rate,
+    # exactly the flash kernel's contract: bf16 operands, fp32
+    # accumulation); softmax statistics are always fp32.  bf16 products are
+    # exact in fp32, so this matches the old upcast-to-fp32 path to
+    # accumulation order.
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                     preferred_element_type=jnp.float32)
     if l2_dist:
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q_sq = jnp.sum(qf * qf, axis=-1)  # (b, h, i)
         k_sq = jnp.sum(kf * kf, axis=-1)  # (b, h, j)
         sim = 2.0 * sim - q_sq[..., :, None] - k_sq[..., None, :]
@@ -68,7 +73,8 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
         sim = jnp.where(mask[:, None, None, :], sim, NEG_INF)
 
     attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhij,bhjd->bhid", attn, vf)
+    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.astype(out_dtype)
 
 
@@ -82,11 +88,13 @@ def linear_attend(q, k, v, *, scale=None):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     out_dtype = q.dtype
-    qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
+    # softmax statistics in fp32; the two context matmuls run in the
+    # operand dtype with fp32 accumulation (MXU rate under amp)
+    qf = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * scale
+    kf = jax.nn.softmax(k.astype(jnp.float32), axis=-2)
 
-    qf = jax.nn.softmax(qf, axis=-1) * scale
-    kf = jax.nn.softmax(kf, axis=-2)
-
-    context = jnp.einsum("bhnd,bhne->bhde", kf, vf)
-    out = jnp.einsum("bhde,bhnd->bhne", context, qf)
+    context = jnp.einsum("bhnd,bhne->bhde", kf.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhde,bhnd->bhne", context.astype(q.dtype),
+                     qf.astype(q.dtype), preferred_element_type=jnp.float32)
     return out.astype(out_dtype)

@@ -235,10 +235,12 @@ class TestFlashAutoDispatch:
         big_q = jnp.zeros((1, 2, 1024, 64))
         big_k = jnp.zeros((1, 2, 1024, 64))
         small_q = jnp.zeros((1, 2, 256, 64))
+        tiny_q = jnp.zeros((1, 2, 64, 64))
         text_k = jnp.zeros((1, 2, 77, 64))
         wide_q = jnp.zeros((1, 2, 2048, 256))
         assert fa.flash_auto(big_q, big_k) is True
-        assert fa.flash_auto(small_q, big_k) is False  # 256 tokens: XLA
+        assert fa.flash_auto(small_q, big_k) is True   # 256 tokens: flash
+        assert fa.flash_auto(tiny_q, big_k) is False   # 64 tokens: XLA
         assert fa.flash_auto(big_q, text_k) is False   # tiny kv: XLA
         assert fa.flash_auto(wide_q, big_k) is False   # d>128: XLA
 
