@@ -1,5 +1,6 @@
 """Capture a jax.profiler device trace of the d/g steps and print the top
-ops by device time.  Usage: python scripts/trace_step.py [batch]"""
+ops by device time.  Usage: python scripts/trace_step.py [batch] [gp]
+(pass "gp" to trace the gradient-penalty d-step variant instead)."""
 import glob
 import gzip
 import json
@@ -16,6 +17,7 @@ from gigagan_tpu.train import GigaGAN
 from gigagan_tpu.utils import cycle
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+GP = len(sys.argv) > 2 and sys.argv[2] == "gp"
 TRACE_DIR = "/tmp/gigagan_trace"
 
 gan = GigaGAN(
@@ -40,7 +42,7 @@ batch = gan._collect_batch(dl, 1)
 
 def one(i):
     gan.train_discriminator_step(
-        batch, grad_accum_every=1, apply_gradient_penalty=False,
+        batch, grad_accum_every=1, apply_gradient_penalty=GP,
         calc_multiscale_loss=True,
     )
     gan.train_generator_step(
@@ -74,14 +76,29 @@ device_pids = {p for p, n in pid_names.items()
                if "TPU" in n or "Device" in n or "/device" in n.lower()}
 print("processes:", pid_names, flush=True)
 
+import re
+
+ITERS = 3
 agg = defaultdict(float)
-total = 0.0
+cnt = defaultdict(int)
+prog_ms = 0.0
+op_ms = 0.0
+n_ops = 0
 for e in events:
     if e.get("ph") == "X" and e.get("pid") in device_pids:
         name = e.get("name", "?")
         dur = e.get("dur", 0) / 1e3  # ms
-        agg[name] += dur
-        total += dur
-print(f"total device time over 3 iters: {total:.1f}ms")
-for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-    print(f"{ms:9.2f}ms  {name[:110]}")
+        if name.startswith("jit_") or re.fullmatch(r"\d+", name):
+            # program-level spans (and their per-run aliases) nest the op
+            # events below — keep them out of the op aggregation
+            prog_ms += dur
+            continue
+        stem = re.sub(r"[.\d]+$", "", name)
+        agg[stem] += dur
+        cnt[stem] += 1
+        op_ms += dur
+        n_ops += 1
+print(f"programs: {prog_ms / 2 / ITERS:.1f}ms/iter (d+g)")
+print(f"ops: {op_ms / ITERS:.1f}ms/iter over {n_ops // ITERS} launches")
+for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
+    print(f"{ms / ITERS:9.2f}ms/iter  x{cnt[name] // ITERS:<5d} {name[:90]}")
