@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gigagan_tpu.utils import exists
 
@@ -55,27 +56,42 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
         return flash_attend(q, k, v, mask, l2_dist, scale)
 
     out_dtype = q.dtype
-    # matmuls stay in the operand dtype (bf16 under amp → full MXU rate,
-    # exactly the flash kernel's contract: bf16 operands, fp32
-    # accumulation); softmax statistics are always fp32.  bf16 products are
-    # exact in fp32, so this matches the old upcast-to-fp32 path to
-    # accumulation order.
-    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+    # Mirrors the flash kernel's algebra so the (n, n) tensors cost the
+    # bare minimum (this path also runs the R1 double-backward, where
+    # every saved pass is paid several times over):
+    # - the |q|² term of the L2 similarity is constant per row → softmax-
+    #   invariant → dropped (EXACT: softmax(z + c·1) = softmax(z), so
+    #   values AND gradients are unchanged);
+    # - scale folds into q, |k|² + the key mask fold into one key-bias row,
+    #   so similarity is one matmul + one fused broadcast add;
+    # - (n, n) intermediates are STORED in the operand dtype (bf16 under
+    #   amp — halves their HBM traffic; torch AMP materializes fp16 sim
+    #   the same way) while reductions and accumulations stay fp32;
+    # - the softmax divide runs on the (i, d) output, not the (i, j) map.
+    coeff = 2.0 * scale if l2_dist else scale
+    q_s = (q.astype(jnp.float32) * coeff).astype(q.dtype)
+    sim_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    sim = jnp.einsum("bhid,bhjd->bhij", q_s, k,
                      preferred_element_type=jnp.float32)
+    bias = None
     if l2_dist:
-        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-        q_sq = jnp.sum(qf * qf, axis=-1)  # (b, h, i)
-        k_sq = jnp.sum(kf * kf, axis=-1)  # (b, h, j)
-        sim = 2.0 * sim - q_sq[..., :, None] - k_sq[..., None, :]
-    sim = sim * scale
-
+        kf = k.astype(jnp.float32)
+        bias = -scale * jnp.sum(kf * kf, axis=-1)  # (b, h, j)
     if exists(mask):
-        sim = jnp.where(mask[:, None, None, :], sim, NEG_INF)
+        mbias = jnp.where(mask, 0.0, NEG_INF)[:, None, :]  # (b, 1, j)
+        bias = mbias if bias is None else bias + mbias
+    if bias is not None:
+        sim = sim + bias[..., None, :]
+    sim = sim.astype(sim_dtype)
 
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(q.dtype), v,
+    m = lax.stop_gradient(
+        jnp.max(sim.astype(jnp.float32), axis=-1, keepdims=True)
+    )
+    e = jnp.exp(sim.astype(jnp.float32) - m).astype(sim_dtype)
+    s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+    out = jnp.einsum("bhij,bhjd->bhid", e.astype(q.dtype), v,
                      preferred_element_type=jnp.float32)
-    return out.astype(out_dtype)
+    return (out / s).astype(out_dtype)
 
 
 def linear_attend(q, k, v, *, scale=None):

@@ -99,6 +99,7 @@ class TrainStepBuilder:
         ema_kwargs: Optional[dict] = None,
         remat: bool = False,
         gp_chunk: Optional[int] = None,
+        gp_fwd_over_rev: bool = False,
     ):
         self.G = generator
         self.D = discriminator
@@ -123,6 +124,11 @@ class TrainStepBuilder:
         # DiffAugment preserves gradient norms, so the penalty is computed
         # on the un-augmented pipeline.  None = single full-batch vjp.
         self.gp_chunk = gp_chunk
+        # forward-over-reverse R1 (see _d_micro_loss): exact gradients via
+        # grad-of-jvp with a smaller live graph (useful when the double-
+        # backward exceeds HBM); measured ~15% SLOWER than the default
+        # reverse-over-reverse on v5e (377 vs 330ms/iter), so it is opt-in
+        self.gp_fwd_over_rev = gp_fwd_over_rev
         self.ema_kwargs = dict(ema_kwargs or {})
         self._d_cache = {}
         self._g_cache = {}
@@ -297,7 +303,8 @@ class TrainStepBuilder:
             jnp.roll(text_enc, shift=1, axis=0) if want_matching else None
         )
 
-        def d_on_pair(real_imgs, fake_imgs):
+        def d_on_pair(real_imgs, fake_imgs, params=None):
+            params = d_params if params is None else params
             aug, rgbs = real_pipeline(real_imgs)
             if fold_matching:
                 real_rgbs_plain = self.D.real_images_to_rgbs(real_imgs)
@@ -317,22 +324,21 @@ class TrainStepBuilder:
                     jnp.concatenate((text_enc, text_enc), axis=0)
                     if not self.unconditional else None
                 )
-            return self._d_apply(d_params, images, pair_rgbs, text, ks[3],
+            return self._d_apply(params, images, pair_rgbs, text, ks[3],
                                  calc_ms, True, aux_recon_samples=b)
 
         gp_loss = jnp.asarray(0.0)
-        if apply_gp and self.gp_chunk is None:
-            # GP steps: the SAME batched [real; fake] call, via one vjp.
-            # The fused pallas conv ops are closed under differentiation
-            # (ops/pallas/adaptive_conv.py), so the R1 double-backward
-            # stays on the fused kernels; the joint vjp yields both input
-            # gradients at once (real logits have no fake dependence and
-            # vice versa, so the cross terms are structurally zero).
+        if apply_gp and self.gp_chunk is None and not self.gp_fwd_over_rev:
+            # reverse-over-reverse fallback: the SAME batched [real; fake]
+            # call via one vjp, flash disabled (its VJP is first-order).
+            # The joint vjp yields both input gradients at once (real
+            # logits have no fake dependence and vice versa, so the cross
+            # terms are structurally zero).
             from gigagan_tpu.ops.pallas.flash_attention import (
                 flash_disabled,
             )
 
-            with flash_disabled():  # flash VJP is first-order
+            with flash_disabled():
                 (logits, ms, aux_losses), pair_vjp = jax.vjp(
                     d_on_pair, real_images, fake_aug
                 )
@@ -370,10 +376,74 @@ class TrainStepBuilder:
                 g = grads.reshape(grads.shape[0], -1).astype(jnp.float32)
                 return jnp.sqrt(jnp.sum(g * g, axis=1) + 1e-12) ** 2
 
-            if self.gp_chunk is None:
-                # weighted cotangents reproduce the reference's
-                # grad_outputs ([1, ms_w, ...]; aux excluded) —
-                # gigagan_pytorch.py:2357-2372
+            if self.gp_chunk is None and self.gp_fwd_over_rev:
+                # Forward-over-reverse R1.  Reverse-over-reverse (torch's
+                # create_graph, reference :2357-2372) forces the whole D
+                # backward onto second-order-capable paths — the flash
+                # kernels are first-order, and XLA's attention
+                # double-backward materializes (n, n) fp32 maps in HBM
+                # (~150ms/iter of the 330ms GP step on v5e).  Instead:
+                #   g      = ∇ₓ⟨D(x), u⟩      (one vjp at FROZEN params —
+                #            stop_gradient(θ) — so the fused kernels'VJP
+                #            is never linearized and flash stays ON; XLA
+                #            CSEs the duplicated forward)
+                #   GP     = 10·mean‖g‖²       (numeric value only)
+                #   ∇θ GP  = 2·10/b·∇θ ⟨∇ₓφ, g⟩ = ∇θ (20/b·jvp(φ; g))
+                # — EXACT: d/dθ‖g(θ)‖² = 2 gᵀ dg/dθ = d/dθ 2⟨g(θ), v⟩ at
+                # v = sg(g), and ⟨∇ₓφ, v⟩ is a directional derivative,
+                # i.e. one forward-mode pass (the classic hvp recipe,
+                # grad∘jvp).  The surrogate's jvp trace runs the
+                # first-order-only custom-VJP ops on their XLA fallbacks
+                # (they forbid jvp); everything else is spent as ~2
+                # forwards + ~2 backwards instead of the O(10x)
+                # double-backward.  Weighted cotangents reproduce the
+                # reference's grad_outputs ([1, ms_w, ...]; aux excluded).
+                frozen_d = lax.stop_gradient(d_params)
+                _, sg_vjp = jax.vjp(
+                    functools.partial(d_on_pair, params=frozen_d),
+                    real_images, fake_aug,
+                )
+                cot_logits = jnp.ones_like(logits)
+                cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms]
+                cot_aux = [jnp.zeros_like(a) for a in aux_losses]
+                v_real, v_fake = sg_vjp((cot_logits, cot_ms, cot_aux))
+                gp_value = 10.0 * (
+                    jnp.mean(sample_sq_norms(v_real))
+                    + jnp.mean(sample_sq_norms(v_fake))
+                )
+
+                from gigagan_tpu.ops.adaptive_conv import (
+                    pallas_disabled,
+                )
+                from gigagan_tpu.ops.pallas.flash_attention import (
+                    flash_disabled,
+                )
+
+                def phi(r, f):
+                    # ⟨D_pipeline(r, f), u⟩ — the same traced pipeline
+                    # the vjp above differentiated, with the cotangent
+                    # weights folded into a scalar
+                    with flash_disabled(), pallas_disabled():
+                        lg, msl, _ = d_on_pair(r, f)
+                    out = jnp.sum(lg.astype(jnp.float32))
+                    for m in msl:
+                        out = out + self.ms_w * jnp.sum(
+                            m.astype(jnp.float32)
+                        )
+                    return out
+
+                _, s = jax.jvp(
+                    phi, (real_images, fake_aug),
+                    (v_real.astype(real_images.dtype),
+                     v_fake.astype(fake_aug.dtype)),
+                )
+                surrogate = (20.0 / b) * s
+                # value = gp_value, gradient = ∇θ surrogate
+                gp_loss = (
+                    gp_value + surrogate - lax.stop_gradient(surrogate)
+                )
+            elif self.gp_chunk is None:
+                # reverse-over-reverse (torch create_graph equivalent)
                 cot_logits = jnp.ones_like(logits)
                 cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms]
                 cot_aux = [jnp.zeros_like(a) for a in aux_losses]

@@ -99,6 +99,10 @@ class GigaGAN:
         gp_chunk: Optional[int] = None,  # R1 penalty batch-chunk size:
         # bounds the double-backward's HBM to gp_chunk samples (exact same
         # penalty value); set to ~8 to run microbatches of 16-32 with GP
+        gp_fwd_over_rev: bool = False,  # forward-over-reverse R1 (grad-of-
+        # jvp): exact gradients with a smaller live graph — enable when the
+        # double-backward exceeds HBM; slightly slower than the default
+        # reverse-over-reverse on v5e
         checkpoint_backend: str = "msgpack",  # or "orbax"
         seed: int = 42,
         mesh=None,
@@ -216,6 +220,7 @@ class GigaGAN:
             diff_augment=diff_augment,
             remat=remat,
             gp_chunk=gp_chunk,
+            gp_fwd_over_rev=gp_fwd_over_rev,
         )
 
         # sampling / checkpointing

@@ -290,6 +290,48 @@ class TestTrainLoop:
             vals[chunk] = float(m["gradient_penalty"])
         np.testing.assert_allclose(vals[None], vals[2], rtol=2e-4)
 
+    def test_gp_fwd_over_rev_matches_double_backward(self, tmp_path):
+        """The forward-over-reverse R1 surrogate (∇θ 2⟨∇ₓφ, sg(∇ₓφ)⟩ via
+        one jvp) must produce the same d-step parameter update as the
+        torch-style reverse-over-reverse double-backward, and the same
+        penalty value.  D includes self-attention so the attention
+        second-order path is exercised."""
+        d_cfg = dict(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=32,
+            attn_resolutions=(8,),
+            multiscale_input_resolutions=(8,),
+            aux_recon_resolutions=(8,),
+            aux_recon_patch_dims=(1,),
+            aux_recon_frac_patches=(1.0,),
+            num_conv_kernels=2,
+            unconditional=True,
+        )
+        out = {}
+        for flag in (True, False):
+            gan = tiny_gan(
+                tmp_path / f"f{flag}", seed=0, gp_fwd_over_rev=flag,
+                discriminator=dict(d_cfg),
+            )
+            ds = MockImageDataset(IMAGE_SIZE, length=32, seed=0)
+            batch = gan._collect_batch(iter(ds.get_dataloader(8)), 1)
+            m = gan.train_discriminator_step(
+                batch, grad_accum_every=1,
+                apply_gradient_penalty=True, calc_multiscale_loss=True,
+            )
+            out[flag] = (
+                jax.device_get(gan.state.d_params),
+                float(m["gradient_penalty"]),
+            )
+        np.testing.assert_allclose(out[True][1], out[False][1], rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=5e-3, atol=3e-6
+            ),
+            out[True][0], out[False][0],
+        )
+
 
 class TestParallel:
     def test_all_gather_batch_under_shard_map(self):
