@@ -175,13 +175,22 @@ def adaptive_conv(
 
     # fused Pallas path: one kernel, 1x the conv FLOPs (the XLA path below
     # pays n x via the n*o-channel conv) — see ops/pallas/adaptive_conv.py
+    spatial = x.shape[1] * x.shape[2] if rank == 2 else 0
     eligible = (
         rank == 2
         and weights.shape[1] == weights.shape[2] == 3
         and stride == 1
         and dilation == 1
-        # backward g-blocks are whole-map: cap spatial so VMEM holds them
-        and x.shape[1] * x.shape[2] <= 64 * 64
+        # ≤64²: whole-map blocks.  Larger maps run on row-chunked grids
+        # (halo windows pre-expanded by XLA — ops/pallas/adaptive_conv.py::
+        # _expand_row_windows), but the kernel only beats XLA there when
+        # the output is ≥1 full lane tile — co < 128 pads to 128 lanes and
+        # the write amplification loses to XLA's native conv (measured:
+        # 3.1ms vs 2.0ms fwd at (16,256,256,32), v5e)
+        and (
+            spatial <= 64 * 64
+            or (spatial <= 256 * 256 and weights.shape[-1] >= 128)
+        )
     )
     if use_pallas is None:
         override = _PALLAS_OVERRIDE.get()

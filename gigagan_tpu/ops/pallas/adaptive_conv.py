@@ -140,6 +140,44 @@ def _fwd_kernel(x_ref, w_ref, attn_ref, demod_ref, out_ref, acc_ref, *, n,
         )
 
 
+def _block_rows(h, w_dim, ci_t, co_tile, n, n_i,
+                budget_bytes=4 * 1024 * 1024):
+    """Largest divisor of h whose per-grid-step VMEM footprint (x window +
+    output block, double-buffered, + the weight block and the fp32
+    accumulator scratch) fits the budget.  h when everything fits — the
+    fast small-spatial path is unchanged."""
+    w_blk = n * 9 * ci_t * co_tile * 2
+    rc = h
+    while rc > 8:
+        x_blk = (rc + 2) * (w_dim + 2) * ci_t * 2
+        o_blk = rc * w_dim * co_tile * 2
+        scratch = rc * w_dim * co_tile * 4 if n_i > 1 else 0
+        if 2 * (x_blk + o_blk) + w_blk + scratch <= budget_bytes:
+            break
+        rc //= 2
+    while h % rc != 0:
+        rc -= 1
+    return rc
+
+
+def _expand_row_windows(x_pad, rc):
+    """(b, h+2, w+2, ci) → (b·n_chunks, rc+2, w+2, ci): overlapping row
+    windows with their 1-row halos, so a row-chunked grid needs no
+    cross-block halo exchange.  Costs one extra pass over x in HBM."""
+    h = x_pad.shape[1] - 2
+    n_ch = h // rc
+    from jax import lax
+
+    windows = [
+        lax.slice_in_dim(x_pad, i * rc, i * rc + rc + 2, axis=1)
+        for i in range(n_ch)
+    ]
+    xw = jnp.stack(windows, axis=1)
+    return xw.reshape(
+        x_pad.shape[0] * n_ch, rc + 2, x_pad.shape[2], x_pad.shape[3]
+    ), n_ch
+
+
 def _fwd_pallas(x_mod, weights, attn, demod, *, co_tile, interpret):
     b, h, w_dim, ci = x_mod.shape
     n = weights.shape[0]
@@ -153,6 +191,25 @@ def _fwd_pallas(x_mod, weights, attn, demod, *, co_tile, interpret):
         demod = jnp.pad(demod, ((0, 0), (0, co_pad - co)))
 
     x_pad = jnp.pad(x_mod, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ci_t0 = _ci_tile(ci, n, co_tile)
+    rc = _block_rows(h, w_dim, ci_t0, co_tile, n, ci // ci_t0)
+    if rc < h:
+        # row-chunked grid for large spatial maps: the kernel is unchanged
+        # — each window is an independent "sample" with its halo baked in
+        x_pad, n_ch = _expand_row_windows(x_pad, rc)
+        attn = jnp.repeat(attn, n_ch, axis=0)
+        demod = jnp.repeat(demod, n_ch, axis=0)
+        out = _fwd_call(x_pad, weights, attn, demod, rc, w_dim,
+                        co_tile=co_tile, interpret=interpret)
+        return out.reshape(b, h, w_dim, co_pad)[..., :co]
+    return _fwd_call(x_pad, weights, attn, demod, h, w_dim,
+                     co_tile=co_tile, interpret=interpret)[..., :co]
+
+
+def _fwd_call(x_pad, weights, attn, demod, h, w_dim, *, co_tile, interpret):
+    b, ci = x_pad.shape[0], x_pad.shape[3]
+    n = weights.shape[0]
+    co_pad = weights.shape[-1]
     chunk = _row_chunks(h, w_dim, co_tile)
     ci_t = _ci_tile(ci, n, co_tile)
     n_i = ci // ci_t
@@ -180,7 +237,7 @@ def _fwd_pallas(x_mod, weights, attn, demod, *, co_tile, interpret):
             (1, h, w_dim, co_tile), lambda bi, oi, ii: (bi, 0, 0, oi),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, co_pad), x_mod.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, co_pad), x_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM(
                 (h, w_dim, co_tile) if n_i > 1 else (1, 1, 1), jnp.float32
@@ -192,12 +249,12 @@ def _fwd_pallas(x_mod, weights, attn, demod, *, co_tile, interpret):
             bytes_accessed=(
                 x_pad.size * x_pad.dtype.itemsize
                 + weights.size * weights.dtype.itemsize
-                + b * h * w_dim * co_pad * x_mod.dtype.itemsize
+                + b * h * w_dim * co_pad * x_pad.dtype.itemsize
             ),
             transcendentals=0,
         ),
     )(x_pad, weights, attn, demod)
-    return out[..., :co]
+    return out
 
 
 # ---------------------------------------------------------------- backward
@@ -366,7 +423,22 @@ def pcorr2d(x, g, weights, coeff, co_tile=128, interpret=None):
     Returns (dw (n,3,3,i,o) fp32, da (b,n) fp32).
     """
     interpret = (not pallas_supported()) if interpret is None else interpret
+    b, h, w_dim, ci = x.shape
+    n = weights.shape[0]
+    co_t = min(co_tile, _round_up(weights.shape[-1], 128))
+    ci_t = _ci_tile(ci, n, co_t, budget_bytes=3 * 1024 * 1024)
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # large spatial maps: row-chunked windows (g blocks are whole-map —
+    # see _block_rows); the kernel's batch-innermost dw accumulation
+    # handles the expanded b·n_chunks axis unchanged, da sums per group
+    rc = _block_rows(h, w_dim, ci_t, co_t, n, 1)
+    if rc < h:
+        x_pad, n_ch = _expand_row_windows(x_pad, rc)
+        g = g.reshape(b * n_ch, rc, w_dim, g.shape[-1])
+        coeff_e = jnp.repeat(coeff, n_ch, axis=0)
+        dw, da = _bwd_w_pallas(x_pad, g.astype(x.dtype), weights, coeff_e,
+                               co_tile=co_tile, interpret=interpret)
+        return dw, da.reshape(b, n_ch, -1).sum(axis=1)
     return _bwd_w_pallas(x_pad, g.astype(x.dtype), weights, coeff,
                          co_tile=co_tile, interpret=interpret)
 

@@ -130,6 +130,41 @@ class TestFusedGradients:
                 err_msg=f"gradient {name} mismatch",
             )
 
+    def test_row_chunked_large_spatial(self, monkeypatch):
+        """Large spatial maps run on row-chunked windows (halo
+        pre-expansion); force chunking at test size and check forward AND
+        all gradients against the XLA path."""
+        from gigagan_tpu.ops.pallas import adaptive_conv as pc
+
+        monkeypatch.setattr(
+            pc, "_block_rows", lambda h, *a, **k: max(h // 4, 1)
+        )
+        x, weights, mod, kmod = build_inputs(seed=7, h=16, w=8)
+
+        def loss(use_pallas):
+            def f(x, w, m, km):
+                return jnp.sum(
+                    adaptive_conv(x, w, m, km, use_pallas=use_pallas) ** 2
+                )
+            return f
+
+        out = adaptive_conv(x, weights, mod, kmod, use_pallas=True)
+        ref = adaptive_conv(x, weights, mod, kmod, use_pallas=False)
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+        g_p = jax.grad(loss(True), argnums=(0, 1, 2, 3))(
+            x, weights, mod, kmod
+        )
+        g_x = jax.grad(loss(False), argnums=(0, 1, 2, 3))(
+            x, weights, mod, kmod
+        )
+        for name, a, b_ in zip(("dx", "dw", "dmod", "dkmod"), g_p, g_x):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
+                err_msg=f"gradient {name} mismatch",
+            )
+
 
 class TestL2NormStability:
     def test_zero_row_backward_is_finite(self):
