@@ -50,6 +50,15 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
         from gigagan_tpu.ops.pallas.flash_attention import flash_auto
 
         use_flash = flash_auto(q, k)
+        if use_flash:
+            from gigagan_tpu.ops.pallas.flash_attention_hv import (
+                _HV_MODE,
+                flash_attend_hv,
+            )
+
+            if _HV_MODE.get():
+                # grad-of-jvp-capable kernels (R1 forward-over-reverse)
+                return flash_attend_hv(q, k, v, mask, l2_dist, scale)
     if use_flash:
         from gigagan_tpu.ops.pallas.flash_attention import flash_attend
 

@@ -132,6 +132,7 @@ class TrainStepBuilder:
         self.ema_kwargs = dict(ema_kwargs or {})
         self._d_cache = {}
         self._g_cache = {}
+        self._dg_cache = {}
 
     # ---------------------------------------------------------------- utils
 
@@ -415,15 +416,18 @@ class TrainStepBuilder:
                 from gigagan_tpu.ops.adaptive_conv import (
                     pallas_disabled,
                 )
-                from gigagan_tpu.ops.pallas.flash_attention import (
-                    flash_disabled,
+                from gigagan_tpu.ops.pallas.flash_attention_hv import (
+                    flash_hv_mode,
                 )
 
                 def phi(r, f):
                     # ⟨D_pipeline(r, f), u⟩ — the same traced pipeline
                     # the vjp above differentiated, with the cotangent
-                    # weights folded into a scalar
-                    with flash_disabled(), pallas_disabled():
+                    # weights folded into a scalar.  Attention runs on
+                    # the grad-of-jvp-capable flash kernels
+                    # (flash_attention_hv); the fused convs stay XLA
+                    # (their custom VJP forbids jvp).
+                    with flash_hv_mode(), pallas_disabled():
                         lg, msl, _ = d_on_pair(r, f)
                     out = jnp.sum(lg.astype(jnp.float32))
                     for m in msl:
@@ -593,7 +597,16 @@ class TrainStepBuilder:
         cache_key = (grad_accum_every, apply_gp, calc_ms)
         if cache_key in self._d_cache:
             return self._d_cache[cache_key]
+        step = self._d_step_raw(
+            grad_accum_every=grad_accum_every, apply_gp=apply_gp,
+            calc_ms=calc_ms,
+        )
+        jitted = jax.jit(step, donate_argnums=(0,))
+        self._d_cache[cache_key] = jitted
+        return jitted
 
+    def _d_step_raw(self, *, grad_accum_every: int, apply_gp: bool,
+                    calc_ms: bool):
         def step(state: GANState, batch, key, frozen):
             # batch arrays are (grad_accum, microbatch, ...): the microbatch
             # axis carries the data sharding; scan walks the accum axis
@@ -671,9 +684,7 @@ class TrainStepBuilder:
 
             return new_state, metrics
 
-        jitted = jax.jit(step, donate_argnums=(0,))
-        self._d_cache[cache_key] = jitted
-        return jitted
+        return step
 
     # --------------------------------------------------------------- g step
 
@@ -731,7 +742,14 @@ class TrainStepBuilder:
         cache_key = (grad_accum_every, calc_ms)
         if cache_key in self._g_cache:
             return self._g_cache[cache_key]
+        step = self._g_step_raw(
+            grad_accum_every=grad_accum_every, calc_ms=calc_ms
+        )
+        jitted = jax.jit(step, donate_argnums=(0,))
+        self._g_cache[cache_key] = jitted
+        return jitted
 
+    def _g_step_raw(self, *, grad_accum_every: int, calc_ms: bool):
         def step(state: GANState, batch, key, frozen):
             real = batch["real_images"]
             text = batch.get("text_encodings")
@@ -792,6 +810,33 @@ class TrainStepBuilder:
             )
             return new_state, metrics
 
+        return step
+
+    # ---------------------------------------------------- fused d+g step
+
+    def dg_step_fn(self, *, grad_accum_every: int, apply_gp: bool,
+                   calc_ms: bool):
+        """ONE compiled program running the D step then the G step on the
+        same batch — the trainer's unconditional fast path (reference loop
+        order, gigagan_pytorch.py:2226-2610).  Halves per-iteration program
+        launches (each costs ~0.5ms dispatch on the v5e relay) and lets
+        XLA schedule across the step boundary."""
+        cache_key = (grad_accum_every, apply_gp, calc_ms)
+        if cache_key in self._dg_cache:
+            return self._dg_cache[cache_key]
+        d_raw = self._d_step_raw(
+            grad_accum_every=grad_accum_every, apply_gp=apply_gp,
+            calc_ms=calc_ms,
+        )
+        g_raw = self._g_step_raw(
+            grad_accum_every=grad_accum_every, calc_ms=calc_ms
+        )
+
+        def step(state: GANState, batch, d_key, g_key, frozen):
+            state, d_metrics = d_raw(state, batch, d_key, frozen)
+            state, g_metrics = g_raw(state, batch, g_key, frozen)
+            return state, d_metrics, g_metrics
+
         jitted = jax.jit(step, donate_argnums=(0,))
-        self._g_cache[cache_key] = jitted
+        self._dg_cache[cache_key] = jitted
         return jitted

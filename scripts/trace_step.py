@@ -4,6 +4,7 @@ ops by device time.  Usage: python scripts/trace_step.py [batch] [gp]
 import glob
 import gzip
 import json
+import os
 import pathlib
 import sys
 from collections import defaultdict
@@ -21,6 +22,7 @@ GP = len(sys.argv) > 2 and sys.argv[2] == "gp"
 TRACE_DIR = "/tmp/gigagan_trace"
 
 gan = GigaGAN(
+    gp_fwd_over_rev=os.environ.get("GP_FOR", "0") == "1",
     generator=dict(
         dim_capacity=8, style_network=dict(dim=64, depth=4), image_size=256,
         dim_max=512, num_skip_layers_excite=4, unconditional=True,

@@ -249,6 +249,60 @@ class TestFlashAttention:
             )
 
 
+class TestFlashSecondOrder:
+    """The grad-of-jvp (hvp) kernel pair (ops/pallas/flash_attention_hv)
+    must match XLA autodiff exactly: jvp outputs AND the reverse of the
+    jvp — the R1 forward-over-reverse structure."""
+
+    @pytest.mark.parametrize("l2,use_mask", [
+        (True, False), (False, False), (True, True),
+    ])
+    def test_jvp_and_grad_of_jvp_match_xla(self, l2, use_mask):
+        from gigagan_tpu.ops.attention import attend
+        from gigagan_tpu.ops.pallas.flash_attention_hv import (
+            flash_attend_hv,
+        )
+
+        b, n, nk, h, d = 2, 32, 33, 2, 16
+        ks = jax.random.split(jax.random.PRNGKey(0), 8)
+        q = jax.random.normal(ks[0], (b, h, n, d))
+        k = jax.random.normal(ks[1], (b, h, nk, d))
+        v = jax.random.normal(ks[2], (b, h, nk, d))
+        tq = jax.random.normal(ks[3], (b, h, n, d))
+        tk = jax.random.normal(ks[4], (b, h, nk, d))
+        tv = jax.random.normal(ks[5], (b, h, nk, d))
+        mask = (
+            (jax.random.uniform(ks[6], (b, nk)) > 0.3) if use_mask
+            else None
+        )
+
+        def f_ref(q, k, v):
+            return attend(q, k, v, mask=mask, l2_dist=l2, use_flash=False)
+
+        def f_hv(q, k, v):
+            return flash_attend_hv(q, k, v, mask, l2, None, True)
+
+        o1, t1 = jax.jvp(f_ref, (q, k, v), (tq, tk, tv))
+        o2, t2 = jax.jvp(f_hv, (q, k, v), (tq, tk, tv))
+        np.testing.assert_allclose(o2, o1, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(t2, t1, rtol=1e-5, atol=1e-5)
+
+        def s(f):
+            def inner(q, k, v):
+                out, tout = jax.jvp(f, (q, k, v), (tq, tk, tv))
+                return jnp.sum(tout ** 2) + jnp.sum(out ** 3)
+            return inner
+
+        g1 = jax.grad(s(f_ref), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(s(f_hv), argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip("qkv", g1, g2):
+            scale = float(jnp.abs(a).max()) + 1e-6
+            np.testing.assert_allclose(
+                b_ / scale, a / scale, rtol=1e-5, atol=1e-5,
+                err_msg=f"grad-of-jvp d{name} mismatch",
+            )
+
+
 class TestFlashAutoDispatch:
     """attend(use_flash=None) dispatch rules: flash only on TPU at winning
     sizes (≥1024 query tokens), never inside a flash_disabled() trace (the

@@ -290,6 +290,39 @@ class TestTrainLoop:
             vals[chunk] = float(m["gradient_penalty"])
         np.testing.assert_allclose(vals[None], vals[2], rtol=2e-4)
 
+    def test_fused_dg_step_matches_split(self, tmp_path):
+        """train_dg_step (one compiled D+G program) must produce the same
+        parameters as the two separate steps — key order is identical."""
+        out = {}
+        for fused in (False, True):
+            gan = tiny_gan(tmp_path / f"fused{fused}", seed=0)
+            ds = MockImageDataset(IMAGE_SIZE, length=32, seed=0)
+            batch = gan._collect_batch(iter(ds.get_dataloader(8)), 1)
+            if fused:
+                gan.train_dg_step(
+                    batch, grad_accum_every=1,
+                    apply_gradient_penalty=True,
+                    calc_multiscale_loss=True,
+                )
+            else:
+                gan.train_discriminator_step(
+                    batch, grad_accum_every=1,
+                    apply_gradient_penalty=True,
+                    calc_multiscale_loss=True,
+                )
+                gan.train_generator_step(
+                    batch, grad_accum_every=1, calc_multiscale_loss=True,
+                )
+            out[fused] = jax.device_get(
+                (gan.state.d_params, gan.state.g_params)
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=1e-5, atol=1e-7
+            ),
+            out[True], out[False],
+        )
+
     def test_gp_fwd_over_rev_matches_double_backward(self, tmp_path):
         """The forward-over-reverse R1 surrogate (∇θ 2⟨∇ₓφ, sg(∇ₓφ)⟩ via
         one jvp) must produce the same d-step parameter update as the
