@@ -60,8 +60,11 @@ def _round_up(x, m):
 
 
 def _row_chunks(h, w_dim, co_tile, budget_bytes=4 * 1024 * 1024):
-    """Accumulator row-chunking so (chunk·w, co_tile) fp32 fits the budget."""
-    rows = max(1, budget_bytes // (w_dim * co_tile * 4))
+    """Accumulator row-chunking so (chunk·w, co_tile) fp32 fits the budget.
+    VMEM values are lane-padded to 128, so thin co_tile still pays full
+    lanes."""
+    co_vmem = _round_up(co_tile, 128)
+    rows = max(1, budget_bytes // (w_dim * co_vmem * 4))
     rows = min(rows, h)
     while h % rows != 0:
         rows -= 1
@@ -146,12 +149,16 @@ def _block_rows(h, w_dim, ci_t, co_tile, n, n_i,
     output block, double-buffered, + the weight block and the fp32
     accumulator scratch) fits the budget.  h when everything fits — the
     fast small-spatial path is unchanged."""
-    w_blk = n * 9 * ci_t * co_tile * 2
+    # VMEM lane-pads the last dim to 128: thin ci/co tiles still pay full
+    # lanes on-chip (HBM arrays stay dense)
+    ci_vmem = _round_up(ci_t, 128)
+    co_vmem = _round_up(co_tile, 128)
+    w_blk = n * 9 * ci_vmem * co_vmem * 2
     rc = h
     while rc > 8:
-        x_blk = (rc + 2) * (w_dim + 2) * ci_t * 2
-        o_blk = rc * w_dim * co_tile * 2
-        scratch = rc * w_dim * co_tile * 4 if n_i > 1 else 0
+        x_blk = (rc + 2) * (w_dim + 2) * ci_vmem * 2
+        o_blk = rc * w_dim * co_vmem * 2
+        scratch = rc * w_dim * co_vmem * 4 if n_i > 1 else 0
         if 2 * (x_blk + o_blk) + w_blk + scratch <= budget_bytes:
             break
         rc //= 2
