@@ -559,10 +559,17 @@ class GigaGAN:
                     calc_multiscale_loss=calc_ms,
                 )
 
-            jax.block_until_ready(g_metrics)
+            # sync only on logging steps: a per-iteration block_until_ready
+            # serializes host dispatch against the device and costs a relay
+            # round-trip per step; between logs the device time is absorbed
+            # by dispatch backpressure, so the timer's per-interval average
+            # stays correct
+            will_log = is_first or divisible_by(step, self.log_steps_every)
+            if will_log:
+                jax.block_until_ready(g_metrics)
             self.step_timer.stop()
 
-            if is_first or divisible_by(step, self.log_steps_every):
+            if will_log:
                 d = jax.device_get(d_metrics)
                 g = jax.device_get(g_metrics)
                 if apply_gp:
