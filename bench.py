@@ -31,12 +31,14 @@ A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE = 30.0
 
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 GP_CHUNK = os.environ.get("BENCH_GP_CHUNK")
+GP_FOR = os.environ.get("BENCH_GP_FOR", "0") == "1"
 STEPS_TIMED = 8
 
 
 def main():
     gan = GigaGAN(
         gp_chunk=int(GP_CHUNK) if GP_CHUNK else None,
+        gp_fwd_over_rev=GP_FOR,
         generator=dict(
             dim_capacity=8,
             style_network=dict(dim=64, depth=4),
