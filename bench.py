@@ -32,7 +32,7 @@ A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE = 30.0
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 GP_CHUNK = os.environ.get("BENCH_GP_CHUNK")
 GP_FOR = os.environ.get("BENCH_GP_FOR", "0") == "1"
-STEPS_TIMED = 8
+STEPS_TIMED = 16  # 4 GP-cadence periods: ±1.5% run-to-run at 8 was visible
 
 
 def main():
