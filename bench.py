@@ -32,7 +32,62 @@ A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE = 30.0
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 GP_CHUNK = os.environ.get("BENCH_GP_CHUNK")
 GP_FOR = os.environ.get("BENCH_GP_FOR", "0") == "1"
+SKIP_UPSAMPLER = os.environ.get("BENCH_UPSAMPLER", "1") == "0"
 STEPS_TIMED = 16  # 4 GP-cadence periods: ±1.5% run-to-run at 8 was visible
+
+
+def bench_upsampler():
+    """Second headline: the 64→256 UnetUpsampler train step (reference
+    README.md:104-148 quickstart: U-Net dim 32, style 64x4, D
+    multiscale_input_resolutions=(128,), amp), images/sec/chip."""
+    gan = GigaGAN(
+        train_upsampler=True,
+        generator=dict(
+            style_network=dict(dim=64, depth=4),
+            dim=32,
+            image_size=256,
+            input_image_size=64,
+            unconditional=True,
+        ),
+        discriminator=dict(
+            dim_capacity=16,
+            dim_max=512,
+            image_size=256,
+            num_skip_layers_excite=4,
+            multiscale_input_resolutions=(128,),
+            unconditional=True,
+        ),
+        amp=True,
+        model_folder="/tmp/gigagan-bench/up-models",
+        results_folder="/tmp/gigagan-bench/up-results",
+        log_steps_every=10 ** 9,
+        save_and_sample_every=10 ** 9,
+        early_save_thres_steps=0,
+        seed=0,
+    )
+    ds = MockImageDataset(256, length=max(4 * BATCH, 64), seed=0)
+    dl = cycle(ds.get_dataloader(BATCH))
+    batches = [gan._collect_batch(dl, 1) for _ in range(4)]
+
+    def one_iter(i, apply_gp):
+        batch = batches[i % len(batches)]
+        gan.train_discriminator_step(
+            batch, grad_accum_every=1,
+            apply_gradient_penalty=apply_gp, calc_multiscale_loss=True,
+        )
+        gan.train_generator_step(
+            batch, grad_accum_every=1, calc_multiscale_loss=True,
+        )
+
+    one_iter(0, False)
+    one_iter(1, True)
+    jax.block_until_ready(gan.state.g_params)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS_TIMED):
+        one_iter(i, apply_gp=(i % 4 == 0))
+    jax.block_until_ready(gan.state.g_params)
+    return BATCH * STEPS_TIMED / (time.perf_counter() - t0)
 
 
 def main():
@@ -93,14 +148,20 @@ def main():
     elapsed = time.perf_counter() - t0
 
     images_per_sec = BATCH * STEPS_TIMED / elapsed
-    print(json.dumps({
+
+    result = {
         "metric": "images_per_sec_per_chip_256px_gd_train_step",
         "value": round(images_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(
             images_per_sec / A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE, 3
         ),
-    }))
+    }
+    if not SKIP_UPSAMPLER:
+        result["upsampler_64_to_256_images_per_sec_per_chip"] = round(
+            bench_upsampler(), 3
+        )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

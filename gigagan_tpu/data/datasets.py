@@ -7,14 +7,18 @@ Parity targets (gigagan_pytorch/data.py):
 - MockTextImageDataset (:99-113): random tensors + 'mock text'
 - collate_tensors_or_str (:28-44)
 
-TPU design: decode/resize runs on host CPU threads while the previous step
-executes on device; the loader is a plain prefetching iterator (the trainer
-overlaps it with device compute by dispatching the step before blocking).
-Images are channels-last float32 in [0, 1].
+TPU design: decode/resize runs on a host CPU thread pool (`num_workers`
+decode threads under a background prefetch producer) while the previous
+step executes on device; the trainer overlaps loading with device compute
+by dispatching the step before blocking.  Images are channels-last float32
+in [0, 1].  Multi-host: every process draws a DISJOINT per-epoch shard
+(see DataLoader), the equivalent of the reference's per-rank
+`accelerator.prepare(dl)` sharding (gigagan_pytorch.py:2161).
 """
 
 from __future__ import annotations
 
+import itertools
 import random
 import threading
 from pathlib import Path
@@ -48,7 +52,17 @@ def collate_tensors_or_str(data):
 
 
 class DataLoader:
-    """Minimal epoch-shuffling, drop-last, background-prefetching loader."""
+    """Epoch-shuffling, drop-last, background-prefetching loader with
+    per-process sharding and threaded decode.
+
+    Multi-host semantics match the reference's `accelerator.prepare(dl)`
+    (gigagan_pytorch.py:2161): every process draws a DISJOINT shard of each
+    epoch.  All processes build the same seeded permutation, then process
+    `i` of `k` keeps `order[i::k]` (truncated to the common length so every
+    host agrees on the number of batches).  `process_index/process_count`
+    default to `jax.process_index()/jax.process_count()` resolved lazily at
+    iteration time — pass them explicitly for testing.
+    """
 
     def __init__(
         self,
@@ -59,7 +73,10 @@ class DataLoader:
         drop_last: bool = True,
         collate_fn=None,
         prefetch: int = 2,
+        num_workers: int = 4,
         seed: int = 0,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -67,20 +84,58 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn or collate_tensors_or_str
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
 
+    def _process(self):
+        if self.process_index is not None:
+            return self.process_index, (self.process_count or 1)
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:  # pragma: no cover - jax always importable here
+            return 0, 1
+
+    def _local_len(self):
+        _, pc = self._process()
+        return len(self.dataset) // pc
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._local_len()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _batches(self):
+    def _epoch_indices(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
+            # identical permutation on every process (same seed, rngs
+            # advance in lockstep) → the strided shards are disjoint
             self._rng.shuffle(order)
+        pi, pc = self._process()
+        if pc > 1:
+            order = order[pi::pc][: n // pc]
+        return order
+
+    def _batches(self):
+        order = self._epoch_indices()
+        n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for start in range(0, stop, self.batch_size):
+                    idx = order[start : start + self.batch_size]
+                    items = list(
+                        pool.map(self.dataset.__getitem__, map(int, idx))
+                    )
+                    yield self.collate_fn(items)
+            return
         for start in range(0, stop, self.batch_size):
             idx = order[start : start + self.batch_size]
             yield self.collate_fn([self.dataset[int(i)] for i in idx])
@@ -109,8 +164,8 @@ class DataLoader:
             yield item
 
 
-def _load_image(path, image_size: int, hflip: bool, convert_to: Optional[str],
-                rng: random.Random):
+def _load_image(path, image_size: int, hflip: bool,
+                convert_to: Optional[str], rng: random.Random):
     img = Image.open(path)
     if exists(convert_to) and img.mode != convert_to:
         img = img.convert(convert_to)
@@ -163,7 +218,8 @@ class ImageDataset:
         )
         self.augment_horizontal_flip = augment_horizontal_flip
         self.convert_image_to = convert_image_to
-        self._rng = random.Random(seed)
+        self.seed = seed
+        self._counter = itertools.count()
 
     def get_dataloader(self, batch_size, **kwargs):
         kwargs.setdefault("shuffle", True)
@@ -174,9 +230,13 @@ class ImageDataset:
         return len(self.paths)
 
     def __getitem__(self, index):
+        # per-call RNG (seed, index, access#): thread-safe under the
+        # loader's decode pool, varies across epochs like torchvision's
+        # global-rng RandomHorizontalFlip
+        rng = random.Random((self.seed, index, next(self._counter)))
         return _load_image(
             self.paths[index], self.image_size,
-            self.augment_horizontal_flip, self.convert_image_to, self._rng,
+            self.augment_horizontal_flip, self.convert_image_to, rng,
         )
 
 
@@ -207,7 +267,7 @@ class MockImageDataset:
         self.image_size = image_size
         self.channels = channels
         self.length = length
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def get_dataloader(self, batch_size, **kwargs):
         kwargs.setdefault("shuffle", True)
@@ -218,7 +278,9 @@ class MockImageDataset:
         return self.length
 
     def __getitem__(self, index):
-        return self._rng.random(
+        # per-index RNG: thread-safe under the loader's decode pool
+        rng = np.random.default_rng((self.seed, index))
+        return rng.random(
             (self.image_size, self.image_size, self.channels)
         ).astype(np.float32)
 
@@ -229,7 +291,7 @@ class MockTextImageDataset(TextImageDataset):
         self.image_size = image_size
         self.channels = channels
         self.length = length
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def get_dataloader(self, batch_size, **kwargs):
         return DataLoader(
@@ -240,7 +302,8 @@ class MockTextImageDataset(TextImageDataset):
         return self.length
 
     def __getitem__(self, index):
-        img = self._rng.standard_normal(
+        rng = np.random.default_rng((self.seed, index))
+        img = rng.standard_normal(
             (self.image_size, self.image_size, self.channels)
         ).astype(np.float32)
         return img, "mock text"

@@ -55,6 +55,16 @@ def gradient_penalty(
     and return the grad-output-weighted sum of all logits — the exact
     equivalent of the reference's torch.autograd.grad with
     grad_outputs=[ones*wᵢ] (reference: :138-145).
+
+    NOTE: this is the reference-parity convenience / test oracle.  The
+    production train steps do NOT call it — they compute the penalty
+    inline via `jax.vjp` so the SAME forward graph yields both the hinge
+    logits and the input-gradient closure (train/steps.py, the JAX
+    analogue of torch's create_graph=True), with chunked and
+    forward-over-reverse variants for memory.  Kept public because its
+    closed-form contract is the simplest way to express "R1 of an
+    arbitrary scalar head" and the tests verify the step implementations
+    against it.
     """
     grads = jax.grad(weighted_output_sum_fn)(images)
     grads = grads.reshape(grads.shape[0], -1).astype(jnp.float32)

@@ -519,7 +519,10 @@ class OpenClipAdapter:
         self.eos_id = eos_id
         self.model = CLIPModel(self.config, dtype=dtype)
 
-        if exists(pretrained) and Path(str(pretrained)).exists():
+        self.has_pretrained_weights = (
+            exists(pretrained) and Path(str(pretrained)).exists()
+        )
+        if self.has_pretrained_weights:
             params = load_open_clip_torch_checkpoint(
                 pretrained, self.config
             )
@@ -561,6 +564,27 @@ class OpenClipAdapter:
         )
 
     # ----------------------------------------------------------- properties
+
+    @property
+    def uses_hash_tokenizer(self):
+        return isinstance(self.tokenizer, HashTokenizer)
+
+    @property
+    def mock_reasons(self):
+        """Why this adapter is a degraded stand-in for the reference's
+        pretrained laion400m_e32 CLIP (open_clip.py:21-28) — empty when
+        real weights + a real BPE vocab are loaded."""
+        reasons = []
+        if not self.has_pretrained_weights:
+            reasons.append(
+                "random-init CLIP weights (no checkpoint on disk)"
+            )
+        if self.uses_hash_tokenizer:
+            reasons.append(
+                "HashTokenizer fallback (no BPE vocab on disk) — token "
+                "ids are hashes, not CLIP's vocabulary"
+            )
+        return reasons
 
     @property
     def dim_latent(self):

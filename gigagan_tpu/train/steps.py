@@ -25,15 +25,27 @@ branching on device (a `lax.cond` over the double-backward would force both
 branches to compile and pessimize memory).
 
 Reference defects fixed here (SURVEY.md §2.3):
-- #2 matching-aware loss: texts are rolled per microbatch and the loss is
-  accumulated across ALL microbatches (the reference groups only the last
-  microbatch's texts and overwrites instead of accumulating, :2437,:2471).
+- #2 matching-aware loss: texts are rolled across the WHOLE accumulated
+  set — the (accum·microbatch) axis — and the loss is accumulated across
+  ALL microbatches (the reference groups only the last microbatch's texts
+  and overwrites instead of accumulating, :2437,:2471).  A per-microbatch
+  roll would be the identity at microbatch 1 (the reference's conditional
+  quickstart, README.md:85-88), silently punishing D for accepting
+  correctly MATCHED pairs.
 - #4 weight decay plumbed for real (see train/optimizer.py).
+
+The CLIP contrastive pool spans the FULL accumulation × all devices, like
+the reference's retain_graph pool (:2583-2592), via an exact two-pass
+surrogate: a forward-only scan collects every microbatch's fake image
+embeds, the pooled InfoNCE loss + its embed-gradients are computed once on
+the full (accum·mb) pool, and each microbatch's loss then carries the
+linear surrogate ⟨e_i, sg(∂L/∂e_i)⟩ whose parameter gradient equals the
+pooled loss's exact gradient (chain rule through the same deterministic
+e_i(θ); RNG keys are shared between the passes).  Cost: one extra G+CLIP
+forward per microbatch, no retained graphs.  A per-microbatch pool would
+return identically 0 with zero gradient at microbatch 1.
+
 Documented divergences:
-- the CLIP contrastive pool is per-microbatch × all devices (the global
-  batch under jit sharding) instead of the reference's
-  retain_graph-across-microbatches pool (:2578-2592) — same estimator
-  family, far cheaper in memory.
 - the VD gradient penalty norm is per-SAMPLE; the reference's rearrange
   treats the tap-stack layer dim as the batch (:154, fed (l b n d)).
 """
@@ -242,7 +254,7 @@ class TrainStepBuilder:
     # --------------------------------------------------------------- d step
 
     def _d_micro_loss(self, trainable, g_params, vd_buffers, frozen,
-                      real_images, text_enc, text_embeds, key,
+                      real_images, text_enc, text_embeds, rolled_text, key,
                       *, apply_gp, calc_ms):
         ks = jax.random.split(key, 8)
         compute_dtype = self.D.dtype
@@ -293,16 +305,16 @@ class TrainStepBuilder:
         # (image, rolled-text) pairs, reference :2432-2475 with defect #2
         # fixed): one 4b-batch apply instead of a third full D launch.
         # Excluded from the vjp'd GP call — zero-cotangent rows would still
-        # pay backward FLOPs through the whole trunk.
+        # pay backward FLOPs through the whole trunk.  `rolled_text` is the
+        # step-level roll across the FULL (accum·mb) axis (see module
+        # docstring) so mismatches are real at any microbatch size.
         want_matching = (
             not self.unconditional and self.matching_w > 0.0
         )
         fold_matching = want_matching and not (
             apply_gp and self.gp_chunk is None
         )
-        rolled = (
-            jnp.roll(text_enc, shift=1, axis=0) if want_matching else None
-        )
+        rolled = rolled_text if want_matching else None
 
         def d_on_pair(real_imgs, fake_imgs, params=None):
             params = d_params if params is None else params
@@ -626,6 +638,27 @@ class TrainStepBuilder:
             )
             keys = jax.random.split(key, accum)
 
+            # matching-aware roll spans the FULL accumulated set (reference
+            # rotates all_texts, :2435-2436): flatten (accum, mb) → roll one
+            # SAMPLE → restack, so each microbatch's mismatched text comes
+            # from its flat predecessor — real mismatches at any mb.
+            want_matching = not self.unconditional and self.matching_w > 0.0
+            if want_matching:
+                assert accum * mb >= 2, (
+                    "matching-aware loss needs a total accumulated batch of "
+                    f"≥2 samples (got grad_accum={accum} × microbatch={mb}); "
+                    "a 1-sample roll is the identity and would punish D for "
+                    "accepting correctly matched pairs"
+                )
+                flat = text_stack.reshape(
+                    (accum * mb,) + text_stack.shape[2:]
+                )
+                rolled_stack = jnp.roll(flat, shift=1, axis=0).reshape(
+                    text_stack.shape
+                )
+            else:
+                rolled_stack = text_stack
+
             trainable = {"d": state.d_params}
             if self.need_vd:
                 trainable["vd"] = state.vd_params
@@ -642,12 +675,13 @@ class TrainStepBuilder:
 
             def body(carry, inp):
                 grads_acc, metrics_acc = carry
-                r, t, e, k = inp
+                r, t, e, rolled, k = inp
                 t = t if not self.unconditional else None
                 e = e if self.need_vd or self.need_contrastive else None
+                rolled = rolled if want_matching else None
                 (_, metrics), grads = grad_fn(
                     trainable, state.g_params, state.vd_buffers,
-                    frozen, r, t, e, k,
+                    frozen, r, t, e, rolled, k,
                 )
                 metrics = jax.tree.map(
                     lambda a, m: a + m / accum, metrics_acc, metrics
@@ -663,7 +697,7 @@ class TrainStepBuilder:
             (grads, metrics), _ = lax.scan(
                 body,
                 (_tree_zeros_like(trainable), zero_metrics),
-                (real, text_stack, embed_stack, keys),
+                (real, text_stack, embed_stack, rolled_stack, keys),
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
 
@@ -688,9 +722,22 @@ class TrainStepBuilder:
 
     # --------------------------------------------------------------- g step
 
+    def _g_fake_embed(self, g_params, frozen, real_images, text_enc, key):
+        """CLIP image embed of the fakes this microbatch WILL generate in
+        `_g_micro_loss` — identical key split (ks[0] latent/noise, ks[1]
+        augment) so the two passes produce bit-identical fakes.  Used by
+        the forward-only pre-pass that builds the cross-accumulation
+        contrastive pool (module docstring)."""
+        ks = jax.random.split(key, 4)
+        fake, rgbs = self._generate(g_params, real_images, text_enc, ks[0])
+        if exists(self.diff_augment):
+            fake, _ = self.diff_augment(ks[1], fake, rgbs)
+        return self._clip_image_embed(frozen["clip"], fake)
+
     def _g_micro_loss(self, g_params, d_params, vd_params, vd_buffers,
                       frozen, real_images, text_enc, text_embeds, key,
-                      *, calc_ms):
+                      pool_grad=None, pool_value=None,
+                      *, calc_ms, pool_scale=1.0):
         ks = jax.random.split(key, 4)
 
         fake, rgbs = self._generate(g_params, real_images, text_enc, ks[0])
@@ -724,10 +771,20 @@ class TrainStepBuilder:
         contrastive = jnp.asarray(0.0)
         if self.need_contrastive:
             image_embeds = self._clip_image_embed(frozen["clip"], fake_aug)
-            logit_scale = jnp.exp(frozen["clip"]["logit_scale"])
-            contrastive = L.clip_contrastive_loss(
-                image_embeds, text_embeds, logit_scale
-            )
+            if exists(pool_grad):
+                # cross-accumulation pool: loss VALUE comes from the step-
+                # level pooled InfoNCE; this microbatch's GRADIENT is the
+                # exact chain-rule term ⟨∂L/∂e_i, ∂e_i/∂θ⟩ via a linear
+                # surrogate (pool_scale undoes the scan's 1/accum)
+                sur = pool_scale * jnp.sum(
+                    image_embeds.astype(jnp.float32) * pool_grad
+                )
+                contrastive = pool_value + sur - lax.stop_gradient(sur)
+            else:
+                logit_scale = jnp.exp(frozen["clip"]["logit_scale"])
+                contrastive = L.clip_contrastive_loss(
+                    image_embeds, text_embeds, logit_scale
+                )
             total = total + contrastive * self.contrastive_w
 
         metrics = dict(
@@ -765,19 +822,67 @@ class TrainStepBuilder:
             )
             keys = jax.random.split(key, accum)
 
-            loss_fn = functools.partial(self._g_micro_loss, calc_ms=calc_ms)
+            # cross-accumulation contrastive pool (module docstring): a
+            # forward-only scan collects every microbatch's fake embeds at
+            # frozen params, the pooled InfoNCE + its embed gradients are
+            # computed once, and the main scan consumes the per-microbatch
+            # gradient slices through the exact linear surrogate.
+            pool_accum = self.need_contrastive and accum > 1
+            if self.need_contrastive:
+                assert accum * mb >= 2, (
+                    "CLIP contrastive loss needs a total accumulated batch "
+                    f"of ≥2 samples (got grad_accum={accum} × microbatch="
+                    f"{mb}); a 1-pair pool is identically 0 with zero "
+                    "gradient"
+                )
+            if pool_accum:
+                g_frozen = lax.stop_gradient(state.g_params)
+
+                def embed_body(carry, inp):
+                    r, t, k = inp
+                    e = self._g_fake_embed(g_frozen, frozen, r, t, k)
+                    return carry, e
+
+                _, pool_embeds = lax.scan(
+                    embed_body, 0.0, (real, text_stack, keys)
+                )
+                e_flat = pool_embeds.reshape(accum * mb, -1)
+                t_flat = embed_stack.reshape(accum * mb, -1).astype(
+                    jnp.float32
+                )
+                logit_scale = jnp.exp(frozen["clip"]["logit_scale"])
+                pool_value, pool_grad_flat = jax.value_and_grad(
+                    lambda e: L.clip_contrastive_loss(
+                        e, t_flat, logit_scale
+                    )
+                )(e_flat)
+                pool_grads = lax.stop_gradient(pool_grad_flat).reshape(
+                    accum, mb, -1
+                )
+                pool_values = jnp.broadcast_to(
+                    lax.stop_gradient(pool_value), (accum,)
+                )
+
+            loss_fn = functools.partial(
+                self._g_micro_loss, calc_ms=calc_ms,
+                pool_scale=float(accum),
+            )
             if self.remat:
                 loss_fn = jax.checkpoint(loss_fn)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
             def body(carry, inp):
                 grads_acc, metrics_acc = carry
-                r, t, e, k = inp
+                if pool_accum:
+                    r, t, e, k, pg, pv = inp
+                else:
+                    r, t, e, k = inp
+                    pg = pv = None
                 t = t if not self.unconditional else None
                 e = e if self.need_vd or self.need_contrastive else None
                 (_, metrics), grads = grad_fn(
                     state.g_params, state.d_params, state.vd_params,
-                    state.vd_buffers, frozen, r, t, e, k,
+                    state.vd_buffers, frozen, r, t, e, k, pg, pv,
                 )
                 metrics = jax.tree.map(
                     lambda a, m: a + m / accum, metrics_acc, metrics
@@ -789,10 +894,13 @@ class TrainStepBuilder:
                 total_vd_divergence=0.0, contrastive_loss=0.0,
             )
             zero_metrics = jax.tree.map(jnp.asarray, zero_metrics)
+            xs = (real, text_stack, embed_stack, keys)
+            if pool_accum:
+                xs = xs + (pool_grads, pool_values)
             (grads, metrics), _ = lax.scan(
                 body,
                 (_tree_zeros_like(state.g_params), zero_metrics),
-                (real, text_stack, embed_stack, keys),
+                xs,
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
             updates, g_opt = self.g_tx.update(

@@ -94,6 +94,8 @@ class GigaGAN:
         amp: bool = False,
         mixed_precision_type: str = "bf16",
         clip=None,
+        allow_mock_clip: bool = False,  # opt in to conditional training
+        # on a random-init CLIP / hash tokenizer (tests, smoke runs)
         remat: bool = False,  # recompute-in-backward; enable when the
         # model/batch exceeds HBM (costs ~20% step time when memory fits)
         gp_chunk: Optional[int] = None,  # R1 penalty batch-chunk size:
@@ -156,6 +158,34 @@ class GigaGAN:
         self.diff_augment = diff_augment
 
         self.clip = clip
+        # conditional training on a degraded CLIP (random init and/or hash
+        # tokenizer) "works" end to end while learning from garbage — make
+        # it loud and opt-in (reference downloads laion400m_e32 at runtime,
+        # open_clip.py:21-28; no egress here, so real assets must be
+        # dropped on disk — see OpenClipAdapter(pretrained=, bpe_path=))
+        mock_reasons = (
+            list(getattr(clip, "mock_reasons", ()))
+            if exists(clip) else []
+        )
+        if not self.unconditional and mock_reasons:
+            details = "; ".join(mock_reasons)
+            if not allow_mock_clip:
+                raise ValueError(
+                    "Conditional training requested but the CLIP adapter "
+                    f"is a mock: {details}.  Text conditioning and the "
+                    "contrastive/matching/vision-aided losses would train "
+                    "against meaningless embeddings.  Provide a real "
+                    "open_clip torch checkpoint via OpenClipAdapter("
+                    "pretrained='/path/to/vit_b_32-laion400m_e32.pt') and "
+                    "the BPE vocab via bpe_path='/path/to/"
+                    "bpe_simple_vocab_16e6.txt.gz', or pass "
+                    "allow_mock_clip=True to proceed anyway (tests/smoke "
+                    "runs)."
+                )
+            self.print(
+                f"[gigagan_tpu] WARNING: conditional training on a MOCK "
+                f"CLIP ({details}) — results will not be meaningful"
+            )
 
         # loss weights / cadences
         self.apply_gradient_penalty_every = apply_gradient_penalty_every
@@ -518,6 +548,7 @@ class GigaGAN:
 
         last = dict(gp=0.0, msd=0.0, msg=0.0)
         self.step_timer = StepTimer()
+        steps_since_sync = 0
 
         for _ in range(steps):
             step = self.steps
@@ -561,13 +592,15 @@ class GigaGAN:
 
             # sync only on logging steps: a per-iteration block_until_ready
             # serializes host dispatch against the device and costs a relay
-            # round-trip per step; between logs the device time is absorbed
-            # by dispatch backpressure, so the timer's per-interval average
-            # stays correct
+            # round-trip per step; the timer records ONE
+            # (elapsed, steps_since_sync) sample per sync, so the logged
+            # ms/step is the true interval average at any log cadence
+            steps_since_sync += 1
             will_log = is_first or divisible_by(step, self.log_steps_every)
             if will_log:
                 jax.block_until_ready(g_metrics)
-            self.step_timer.stop()
+                self.step_timer.stop(steps_since_sync)
+                steps_since_sync = 0
 
             if will_log:
                 d = jax.device_get(d_metrics)

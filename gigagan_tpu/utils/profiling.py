@@ -55,30 +55,48 @@ def trace(log_dir: str):
 
 
 class StepTimer:
-    """Rolling wall-clock stats over recent steps."""
+    """Rolling wall-clock stats over recent SYNC INTERVALS.
 
-    def __init__(self, window: int = 50):
-        self.times = deque(maxlen=window)
+    The trainer only blocks on the device at logging steps, so per-step
+    start/stop times are fiction (dispatch returns immediately; the log
+    step absorbs the whole backlog).  Instead the trainer records one
+    (elapsed, n_steps) sample per device sync and the mean is
+    total-time / total-steps over the window — correct for any
+    log_steps_every, no window/cadence aliasing (ADVICE r2 #1)."""
+
+    def __init__(self, window: int = 8):
+        self.intervals = deque(maxlen=window)  # (elapsed_s, n_steps)
         self._t0: Optional[float] = None
 
     def start(self):
-        self._t0 = time.perf_counter()
+        """Mark the start of a sync interval (idempotent until stop)."""
+        if self._t0 is None:
+            self._t0 = time.perf_counter()
 
-    def stop(self):
+    def stop(self, n_steps: int = 1):
+        """Record the interval since start() as `n_steps` steps' work.
+        Call immediately after a device sync."""
         if self._t0 is not None:
-            self.times.append(time.perf_counter() - self._t0)
+            self.record(time.perf_counter() - self._t0, n_steps)
             self._t0 = None
+
+    def record(self, elapsed_s: float, n_steps: int):
+        if n_steps > 0:
+            self.intervals.append((elapsed_s, n_steps))
 
     @property
     def mean_s(self) -> float:
-        return sum(self.times) / len(self.times) if self.times else 0.0
+        steps = sum(n for _, n in self.intervals)
+        if steps == 0:
+            return 0.0
+        return sum(t for t, _ in self.intervals) / steps
 
     def images_per_sec(self, batch_size: int) -> float:
         mean = self.mean_s
         return batch_size / mean if mean > 0 else 0.0
 
     def summary(self, batch_size: Optional[int] = None) -> str:
-        if not self.times:
+        if not self.intervals:
             return "no steps timed"
         msg = f"{self.mean_s * 1e3:.1f} ms/step"
         if batch_size:

@@ -425,22 +425,66 @@ class TestParallel:
         )
 
 
+STUB_CLIP_DIM = 24
+
+
+class StubClip:
+    """Deterministic text embedder standing in for CLIP."""
+
+    def embed_texts(self, texts):
+        outs = []
+        for t in texts:
+            rng = np.random.default_rng(
+                int(np.frombuffer(
+                    t.encode()[:8].ljust(8, b"\0"), np.uint64
+                )[0] % (2 ** 31))
+            )
+            enc = rng.standard_normal((7, STUB_CLIP_DIM)).astype(np.float32)
+            outs.append(enc)
+        return None, np.stack(outs)
+
+
+def conditional_gan(tmp_path, **overrides):
+    kwargs = dict(
+        generator=dict(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=32,
+            dim_latent=16,
+            style_network=dict(dim=16, depth=1, dim_text_latent=16),
+            text_encoder=dict(dim=16, depth=1, clip_dim=STUB_CLIP_DIM),
+            self_attn_resolutions=(),
+            cross_attn_resolutions=(8,),
+            num_conv_kernels=2,
+            unconditional=False,
+        ),
+        discriminator=dict(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=32,
+            attn_resolutions=(),
+            multiscale_input_resolutions=(8,),
+            aux_recon_resolutions=(),
+            aux_recon_patch_dims=(),
+            aux_recon_frac_patches=(),
+            num_conv_kernels=2,
+            unconditional=False,
+            text_encoder=dict(dim=16, depth=1, clip_dim=STUB_CLIP_DIM),
+        ),
+        generator_contrastive_loss_weight=0.0,  # StubClip has no tower
+        model_folder=str(tmp_path / "models"),
+        results_folder=str(tmp_path / "results"),
+        log_steps_every=1000,
+        clip=StubClip(),
+        seed=0,
+    )
+    kwargs.update(overrides)
+    return GigaGAN(**kwargs)
+
+
 class TestConditionalTraining:
     def test_text_conditioned_steps_run(self, tmp_path):
-        clip_dim = 24
-
-        class StubClip:
-            """Deterministic text embedder standing in for CLIP."""
-
-            def embed_texts(self, texts):
-                outs = []
-                for t in texts:
-                    rng = np.random.default_rng(abs(hash(t)) % (2 ** 31))
-                    enc = rng.standard_normal((7, clip_dim)).astype(
-                        np.float32
-                    )
-                    outs.append(enc)
-                return None, np.stack(outs)
+        clip_dim = STUB_CLIP_DIM
 
         gan = GigaGAN(
             generator=dict(
@@ -524,6 +568,122 @@ class TestConditionalTraining:
             rngs={"dropout": k},
         )
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestAccumulationPools:
+    """mb=1 degeneracy fixes: the matching-aware text roll and the CLIP
+    contrastive pool must span the FULL accumulated set, like the
+    reference's all_texts rotation (:2435-2436) and retain_graph pool
+    (:2583-2592) — not a single microbatch."""
+
+    def test_matching_roll_spans_accumulation(self, tmp_path):
+        """At grad_accum=4, microbatch=1 — where a per-microbatch roll is
+        the identity — the matching loss must be computed on pairs whose
+        text comes from the PREVIOUS accumulated sample.  Verified against
+        a manual re-derivation of the mismatched D pass."""
+        from gigagan_tpu import losses as L
+
+        accum = 4
+        gan = conditional_gan(tmp_path)
+        stub = StubClip()
+        texts = ["aaaa", "bbbb", "cccc", "dddd"]
+        _, enc = stub.embed_texts(texts)  # (4, 7, dim), all distinct
+        rng = np.random.default_rng(0)
+        imgs = rng.random((accum, 1, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(
+            np.float32
+        )
+        batch = {
+            "real_images": jnp.asarray(imgs),
+            "text_encodings": jnp.asarray(enc[:, None]),
+        }
+        key = jax.random.PRNGKey(123)
+        builder = gan.builder
+        g_params = jax.device_get(gan.state.g_params)
+        d_params = jax.device_get(gan.state.d_params)
+        step = builder.d_step_fn(
+            grad_accum_every=accum, apply_gp=False, calc_ms=False
+        )
+        _, metrics = step(gan.state, batch, key, gan._frozen)
+        got = float(metrics["matching_aware_loss"])
+        assert got != 0.0
+
+        # manual: flatten (accum·mb) → roll ONE SAMPLE → per-microbatch
+        # mismatch pass [real; fake] with the rolled text
+        rolled = np.roll(enc, shift=1, axis=0)
+        ms_res = gan.D.resolved_multiscale_input_resolutions
+        keys = jax.random.split(key, accum)
+        expected = 0.0
+        for i in range(accum):
+            r = jnp.asarray(imgs[i])
+            t = jnp.asarray(enc[i : i + 1])
+            ro = jnp.asarray(rolled[i : i + 1])
+            ks = jax.random.split(keys[i], 8)
+            fake, fake_rgbs = builder._generate(g_params, r, t, ks[0])
+            real_rgbs = gan.D.real_images_to_rgbs(r)
+
+            def by_res(lst):
+                return {x.shape[1]: x for x in lst}
+
+            pair_rgbs = [
+                jnp.concatenate(
+                    [by_res(real_rgbs)[res], by_res(fake_rgbs)[res]], axis=0
+                )
+                for res in ms_res
+            ]
+            m_images = jnp.concatenate([r, fake], axis=0)
+            m_text = jnp.concatenate([ro, ro], axis=0)
+            m_logits, *_ = builder._d_apply(
+                d_params, m_images, pair_rgbs, m_text, ks[3],
+                False, True, aux_recon_samples=1,
+            )
+            expected += float(
+                L.aux_matching_loss(m_logits[:, :1], m_logits[:, 1:])
+            )
+        expected /= accum
+        np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+    def test_matching_roll_on_gp_step_too(self, tmp_path):
+        """The separate matching launch on vjp'd GP steps uses the same
+        cross-accumulation roll (value must agree with the non-GP step's
+        folded rows, same batch, same key)."""
+        accum = 4
+        gan = conditional_gan(tmp_path)
+        stub = StubClip()
+        _, enc = stub.embed_texts(["aaaa", "bbbb", "cccc", "dddd"])
+        rng = np.random.default_rng(1)
+        imgs = rng.random((accum, 1, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(
+            np.float32
+        )
+        batch = {
+            "real_images": jnp.asarray(imgs),
+            "text_encodings": jnp.asarray(enc[:, None]),
+        }
+        key = jax.random.PRNGKey(5)
+        vals = {}
+        for gp in (False, True):
+            step = gan.builder.d_step_fn(
+                grad_accum_every=accum, apply_gp=gp, calc_ms=False
+            )
+            state = jax.tree.map(jnp.asarray, jax.device_get(gan.state))
+            _, metrics = step(state, batch, key, gan._frozen)
+            vals[gp] = float(metrics["matching_aware_loss"])
+        np.testing.assert_allclose(vals[True], vals[False], rtol=1e-4)
+
+    def test_single_sample_matching_asserts(self, tmp_path):
+        """accum·mb == 1 with matching on must refuse loudly (the roll
+        would be the identity → punishes correctly matched pairs)."""
+        gan = conditional_gan(tmp_path)
+        stub = StubClip()
+        _, enc = stub.embed_texts(["aaaa"])
+        batch = {
+            "real_images": jnp.zeros((1, 1, IMAGE_SIZE, IMAGE_SIZE, 3)),
+            "text_encodings": jnp.asarray(enc[:, None]),
+        }
+        step = gan.builder.d_step_fn(
+            grad_accum_every=1, apply_gp=False, calc_ms=False
+        )
+        with pytest.raises(AssertionError, match="matching-aware"):
+            step(gan.state, batch, jax.random.PRNGKey(0), gan._frozen)
 
 
 class TestUpsamplerTraining:
