@@ -115,16 +115,41 @@ class PixelShuffleUpsample(nn.Module):
         return ops.resample.pixel_shuffle(x, 2)
 
 
-class Downsample(nn.Module):
-    """space-to-depth + 1x1 conv (reference: :289-293)."""
+class _SpaceToDepthProj(nn.Module):
+    """Dense over space-to-depth'd pixels, executed as ONE 2×2/stride-2
+    convolution.  The param keeps the Dense layout — kernel (4·c, dim)
+    with (c, s1, s2)-major rows matching `ops.resample.space_to_depth` —
+    for checkpoint and reference-weight-port compatibility; the HWIO view
+    is a (cheap, weight-sized) reshape at call time."""
 
     dim: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = ops.resample.space_to_depth(x)
-        return conv1x1(self.dim, dtype=self.dtype, name="proj")(x)
+        c = x.shape[-1]
+        kernel = self.param("kernel", KAIMING_DENSE, (4 * c, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        w = kernel.reshape(c, 2, 2, self.dim).transpose(1, 2, 0, 3)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class Downsample(nn.Module):
+    """space-to-depth + 1x1 conv (reference: :289-293) — algebraically ONE
+    2×2 stride-2 conv (the space-to-depth gather is absorbed into the conv
+    window), dodging the interleave relayout copies (~4ms/iter of the
+    round-3 no-GP device trace)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return _SpaceToDepthProj(self.dim, dtype=self.dtype, name="proj")(x)
 
 
 class SqueezeExcite(nn.Module):
@@ -243,27 +268,24 @@ class SelfAttention(nn.Module):
         else:
             k = q  # shared q/k space (ViTGAN)
 
-        q, k, v = (
-            rearrange(t, "b x y (h d) -> b h (x y) d", h=self.heads)
-            for t in (q, k, v)
-        )
-
         null_kv = self.param(
             "null_kv", nn.initializers.normal(1.0),
             (2, self.heads, self.dim_head),
         )
-        nk, nv = (
-            repeat(t, "h d -> b h 1 d", b=b).astype(q.dtype) for t in null_kv
-        )
-        k = jnp.concatenate((nk, k), axis=-2)
-        v = jnp.concatenate((nv, v), axis=-2)
 
-        out = ops.attend(
+        # fused-heads layout end to end: the (b,x,y,h·d)→(b,h,n,d) einops
+        # relayouts and the null-KV concat/pad cost more than the attention
+        # math (round-3 trace) — ops.attend_fused keeps the projections'
+        # native layout and handles the null token analytically
+        q, k, v = (t.reshape(b, h * w, inner) for t in (q, k, v))
+        out = ops.attend_fused(
             q, k, v,
+            heads=self.heads,
+            null_kv=null_kv,
             l2_dist=not self.dot_product,
             scale=self.dim_head ** -0.5,
         )
-        out = rearrange(out, "b h (x y) d -> b x y (h d)", x=h, y=w)
+        out = out.reshape(b, h, w, inner)
         return conv1x1(self.dim, use_bias=False, dtype=self.dtype,
                        name="to_out")(out)
 

@@ -52,7 +52,7 @@ from gigagan_tpu.models.layers import (
     conv1x1,
     conv3x3,
 )
-from gigagan_tpu.ops import attend, linear_attend
+from gigagan_tpu.ops import attend_fused, linear_attend
 from gigagan_tpu.utils import ModTable, default, exists, is_power_of_two
 
 Dtype = Any
@@ -242,12 +242,12 @@ class Attention2D(nn.Module):
         qkv = conv1x1(hidden * 3, use_bias=False, dtype=self.dtype,
                       name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (
-            rearrange(t, "b x y (h d) -> b h (x y) d", h=self.heads)
-            for t in (q, k, v)
+        # fused-heads layout (see models/layers.py SelfAttention)
+        q, k, v = (t.reshape(b, h * w, hidden) for t in (q, k, v))
+        out = attend_fused(
+            q, k, v, heads=self.heads, scale=self.dim_head ** -0.5
         )
-        out = attend(q, k, v, scale=self.dim_head ** -0.5)
-        out = rearrange(out, "b h (x y) d -> b x y (h d)", x=h, y=w)
+        out = out.reshape(b, h, w, hidden)
         return conv1x1(self.dim, dtype=self.dtype, name="to_out")(out)
 
 

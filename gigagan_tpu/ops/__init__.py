@@ -3,7 +3,7 @@ from gigagan_tpu.ops.adaptive_conv import (
     adaptive_conv_reference,
     kernel_gram,
 )
-from gigagan_tpu.ops.attention import attend, linear_attend
+from gigagan_tpu.ops.attention import attend, attend_fused, linear_attend
 from gigagan_tpu.ops.resample import (
     blur_2d,
     blur_3d,
@@ -19,6 +19,7 @@ __all__ = [
     "adaptive_conv_reference",
     "kernel_gram",
     "attend",
+    "attend_fused",
     "linear_attend",
     "blur_2d",
     "blur_3d",

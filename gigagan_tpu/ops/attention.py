@@ -39,7 +39,8 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
     (ops/pallas/flash_attention.py), which keeps sim/attn in VMEM and saves
     row log-sum-exp for a single-pass backward.  Default (None) dispatches
     automatically: flash on TPU at the sizes where it measurably beats XLA
-    (1024+ query tokens — the 32x32 feature-map attentions), XLA otherwise;
+    (≥256 query tokens — the 16×16 and larger feature-map attentions),
+    XLA otherwise;
     R1 double-backward traces disable it via `flash_disabled()` because the
     kernel's VJP is first-order.
     """
@@ -101,6 +102,67 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
     out = jnp.einsum("bhij,bhjd->bhid", e.astype(q.dtype), v,
                      preferred_element_type=jnp.float32)
     return (out / s).astype(out_dtype)
+
+
+def attend_fused(q, k, v, *, heads: int, null_kv=None,
+                 l2_dist: bool = False, scale=None, use_flash=None):
+    """Attention in the network's native fused-heads layout: q (b, nq, H·d),
+    k/v (b, nk, H·d), optional learned null_kv (2, H, d) → (b, nq, H·d).
+
+    On TPU at flash sizes this dispatches to the fused-heads Pallas kernel
+    (ops/pallas/flash_attention_fused.py): NO head transposes, NO null-KV
+    concat/pad — the round-3 trace showed that layout glue costing more
+    than the attention math.  Everywhere else (CPU tests, flash_disabled R1
+    traces, sub-flash sizes, flash_hv_mode) it falls back to the exact
+    same split-heads math as `attend`, so values match the reference
+    semantics bit-for-bit with the unfused path."""
+    d = q.shape[-1] // heads
+    if scale is None:
+        scale = d ** -0.5
+
+    if use_flash is None:
+        from gigagan_tpu.ops.pallas.flash_attention import flash_auto
+        from gigagan_tpu.ops.pallas.flash_attention_fused import head_group
+        from gigagan_tpu.ops.pallas.flash_attention_hv import _HV_MODE
+
+        # flash_auto expects (..., n, d)-shaped probes
+        probe_q = q[..., :d]
+        probe_k = k[..., :d]
+        use_flash = (
+            flash_auto(probe_q, probe_k)
+            and not _HV_MODE.get()
+            and head_group(heads, d) is not None
+        )
+    if use_flash:
+        from gigagan_tpu.ops.pallas.flash_attention_fused import (
+            flash_attend_fused,
+        )
+
+        return flash_attend_fused(
+            q, k, v, null_kv, heads, l2_dist, scale
+        )
+
+    # fallback: split heads and reuse the (lean) XLA / hv paths
+    b, nq, _ = q.shape
+    nk = k.shape[1]
+
+    def split(t, n):
+        return jnp.transpose(
+            t.reshape(b, n, heads, d), (0, 2, 1, 3)
+        )
+
+    qh, kh, vh = split(q, nq), split(k, nk), split(v, nk)
+    if exists(null_kv):
+        nk_tok = jnp.broadcast_to(
+            null_kv[0][None, :, None, :], (b, heads, 1, d)
+        ).astype(kh.dtype)
+        nv_tok = jnp.broadcast_to(
+            null_kv[1][None, :, None, :], (b, heads, 1, d)
+        ).astype(vh.dtype)
+        kh = jnp.concatenate((nk_tok, kh), axis=-2)
+        vh = jnp.concatenate((nv_tok, vh), axis=-2)
+    out = attend(qh, kh, vh, l2_dist=l2_dist, scale=scale)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, nq, heads * d)
 
 
 def linear_attend(q, k, v, *, scale=None):

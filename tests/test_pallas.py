@@ -305,7 +305,7 @@ class TestFlashSecondOrder:
 
 class TestFlashAutoDispatch:
     """attend(use_flash=None) dispatch rules: flash only on TPU at winning
-    sizes (≥1024 query tokens), never inside a flash_disabled() trace (the
+    sizes (≥256 query tokens), never inside a flash_disabled() trace (the
     flash VJP is first-order; R1 double-backward needs second order)."""
 
     def test_auto_false_off_tpu(self):
@@ -361,3 +361,165 @@ class TestFlashAutoDispatch:
 
         gg = jax.grad(inner)(q)
         assert jnp.all(jnp.isfinite(gg))
+
+
+class TestFusedHeadsAttention:
+    """The fused-heads kernel (ops/pallas/flash_attention_fused) takes
+    q/k/v in the network's (b, n, H·d) layout — no head transposes, null
+    KV handled analytically — and must match the split-heads math path
+    (values and grads, incl. the null_kv parameter gradient)."""
+
+    def _qkv(self, seed=0, b=2, heads=3, nq=16, nk=24, d=8):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        q = jax.random.normal(ks[0], (b, nq, heads * d))
+        k = jax.random.normal(ks[1], (b, nk, heads * d))
+        v = jax.random.normal(ks[2], (b, nk, heads * d))
+        null_kv = jax.random.normal(ks[3], (2, heads, d))
+        return q, k, v, null_kv
+
+    @pytest.mark.parametrize("l2,with_null", [
+        (True, True), (False, True), (False, False), (True, False),
+    ])
+    def test_forward_matches_fallback(self, l2, with_null):
+        from gigagan_tpu.ops.attention import attend_fused
+        from gigagan_tpu.ops.pallas.flash_attention_fused import (
+            flash_attend_fused,
+        )
+
+        q, k, v, null_kv = self._qkv()
+        null = null_kv if with_null else None
+        ref = attend_fused(
+            q, k, v, heads=3, null_kv=null, l2_dist=l2, use_flash=False
+        )
+        out = flash_attend_fused(q, k, v, null, 3, l2, None, True)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("l2", [True, False])
+    def test_grads_match_fallback(self, l2):
+        from gigagan_tpu.ops.attention import attend_fused
+        from gigagan_tpu.ops.pallas.flash_attention_fused import (
+            flash_attend_fused,
+        )
+
+        q, k, v, null_kv = self._qkv(seed=1)
+
+        def loss_fused(q, k, v, nkv):
+            return jnp.sum(
+                flash_attend_fused(q, k, v, nkv, 3, l2, None, True) ** 2
+            )
+
+        def loss_ref(q, k, v, nkv):
+            return jnp.sum(
+                attend_fused(
+                    q, k, v, heads=3, null_kv=nkv, l2_dist=l2,
+                    use_flash=False,
+                ) ** 2
+            )
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, null_kv)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, null_kv)
+        for name, a, b_ in zip(("q", "k", "v", "null_kv"), g_f, g_r):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_shared_qk_grads(self):
+        """SelfAttention's shared q/k path through the fused kernel."""
+        from gigagan_tpu.ops.attention import attend_fused
+        from gigagan_tpu.ops.pallas.flash_attention_fused import (
+            flash_attend_fused,
+        )
+
+        q, _, v, null_kv = self._qkv(seed=2, nq=16, nk=16)
+
+        def loss_fused(q, v, nkv):
+            return jnp.sum(
+                flash_attend_fused(q, q, v, nkv, 3, True, None, True) ** 2
+            )
+
+        def loss_ref(q, v, nkv):
+            return jnp.sum(
+                attend_fused(
+                    q, q, v, heads=3, null_kv=nkv, l2_dist=True,
+                    use_flash=False,
+                ) ** 2
+            )
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, v, null_kv)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, v, null_kv)
+        for name, a, b_ in zip(("q", "v", "null_kv"), g_f, g_r):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_fallback_matches_legacy_module_math(self):
+        """attend_fused's fallback (split heads + null concat + attend)
+        must equal the pre-round-3 SelfAttention inner math — guards the
+        module rewrite against semantic drift."""
+        from einops import rearrange, repeat
+
+        from gigagan_tpu.ops.attention import attend, attend_fused
+
+        heads, d = 3, 8
+        q, k, v, null_kv = self._qkv(seed=3, heads=heads, d=d)
+        got = attend_fused(
+            q, k, v, heads=heads, null_kv=null_kv, l2_dist=True,
+            use_flash=False,
+        )
+
+        b, nq, _ = q.shape
+        qh, kh, vh = (
+            rearrange(t, "b n (h d) -> b h n d", h=heads) for t in (q, k, v)
+        )
+        nk_tok, nv_tok = (
+            repeat(t, "h d -> b h 1 d", b=b) for t in null_kv
+        )
+        kh = jnp.concatenate((nk_tok, kh), axis=-2)
+        vh = jnp.concatenate((nv_tok, vh), axis=-2)
+        ref = attend(qh, kh, vh, l2_dist=True, scale=d ** -0.5,
+                     use_flash=False)
+        ref = rearrange(ref, "b h n d -> b n (h d)")
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_head_group_grid_path(self):
+        """heads=8, d=64 → head groups of 2 (lane extent 128): the
+        production G/D geometry exercises the (batch, group) grid."""
+        from gigagan_tpu.ops.attention import attend_fused
+        from gigagan_tpu.ops.pallas.flash_attention_fused import (
+            flash_attend_fused,
+            head_group,
+        )
+
+        assert head_group(8, 64) == 2
+        q, k, v, null_kv = self._qkv(seed=4, b=2, heads=8, nq=16, nk=16,
+                                     d=64)
+
+        def loss_fused(q, k, v, nkv):
+            return jnp.sum(
+                flash_attend_fused(q, k, v, nkv, 8, True, None, True) ** 2
+            )
+
+        def loss_ref(q, k, v, nkv):
+            return jnp.sum(
+                attend_fused(
+                    q, k, v, heads=8, null_kv=nkv, l2_dist=True,
+                    use_flash=False,
+                ) ** 2
+            )
+
+        out = flash_attend_fused(q, k, v, null_kv, 8, True, None, True)
+        ref = attend_fused(q, k, v, heads=8, null_kv=null_kv, l2_dist=True,
+                           use_flash=False)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, null_kv)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, null_kv)
+        for name, a, b_ in zip(("q", "k", "v", "null_kv"), g_f, g_r):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
+                err_msg=f"d{name} mismatch",
+            )
