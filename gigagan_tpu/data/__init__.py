@@ -3,6 +3,7 @@ from gigagan_tpu.data.datasets import (
     ImageDataset,
     MockImageDataset,
     MockTextImageDataset,
+    SyntheticShapesDataset,
     TextImageDataset,
     collate_tensors_or_str,
 )
@@ -13,5 +14,6 @@ __all__ = [
     "MockImageDataset",
     "TextImageDataset",
     "MockTextImageDataset",
+    "SyntheticShapesDataset",
     "collate_tensors_or_str",
 ]

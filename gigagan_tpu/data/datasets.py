@@ -285,6 +285,53 @@ class MockImageDataset:
         ).astype(np.float32)
 
 
+class SyntheticShapesDataset:
+    """Structured synthetic images (smooth two-color gradient background +
+    a few solid rectangles/ellipses) — a LEARNABLE distribution, unlike the
+    pure-noise mocks, for training-health runs without a real dataset on
+    disk.  Pure noise drives the D's input gradients (and hence the
+    logged R1 penalty) into the thousands because no generator can
+    approach the data manifold; against these images the losses settle
+    into the reference README's oracle ranges (README.md:151-166)."""
+
+    def __init__(self, image_size: int, length: int = int(1e5),
+                 channels: int = 3, seed: int = 0, max_shapes: int = 3):
+        self.image_size = image_size
+        self.channels = channels
+        self.length = length
+        self.seed = seed
+        self.max_shapes = max_shapes
+
+    def get_dataloader(self, batch_size, **kwargs):
+        kwargs.setdefault("shuffle", True)
+        kwargs.setdefault("drop_last", True)
+        return DataLoader(self, batch_size, **kwargs)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        rng = np.random.default_rng((self.seed, index))
+        s, c = self.image_size, self.channels
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / max(s - 1, 1)
+        # oriented two-color gradient background
+        theta = rng.uniform(0, 2 * np.pi)
+        t = (np.cos(theta) * xx + np.sin(theta) * yy + 1.0) / 2.0
+        c0 = rng.random(c).astype(np.float32)
+        c1 = rng.random(c).astype(np.float32)
+        img = t[..., None] * c1 + (1.0 - t[..., None]) * c0
+        for _ in range(rng.integers(1, self.max_shapes + 1)):
+            color = rng.random(c).astype(np.float32)
+            cx, cy = rng.uniform(0.15, 0.85, size=2)
+            rx, ry = rng.uniform(0.08, 0.3, size=2)
+            if rng.random() < 0.5:  # ellipse
+                m = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 < 1.0
+            else:  # rectangle
+                m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
+            img = np.where(m[..., None], color, img)
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 class MockTextImageDataset(TextImageDataset):
     def __init__(self, image_size: int, length: int = int(1e5),
                  channels: int = 3, seed: int = 0):

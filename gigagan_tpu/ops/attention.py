@@ -49,8 +49,12 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
 
     if use_flash is None:
         from gigagan_tpu.ops.pallas.flash_attention import flash_auto
+        from gigagan_tpu.ops.pallas.flash_attention_so import _SO_MODE
 
-        use_flash = flash_auto(q, k)
+        # second-order (reverse-over-reverse R1) traces: the split-heads
+        # kernels are first-order, so flash-eligible calls here fall back
+        # to XLA (attend_fused routes its callers to the SO kernels)
+        use_flash = flash_auto(q, k) and not _SO_MODE.get()
         if use_flash:
             from gigagan_tpu.ops.pallas.flash_attention_hv import (
                 _HV_MODE,
@@ -124,13 +128,23 @@ def attend_fused(q, k, v, *, heads: int, null_kv=None,
         from gigagan_tpu.ops.pallas.flash_attention import flash_auto
         from gigagan_tpu.ops.pallas.flash_attention_fused import head_group
         from gigagan_tpu.ops.pallas.flash_attention_hv import _HV_MODE
+        from gigagan_tpu.ops.pallas.flash_attention_so import (
+            _SO_MODE,
+            flash_attend_so,
+            flash_so_auto,
+        )
 
+        if flash_so_auto(q, k, heads):
+            # reverse-over-reverse R1 trace: the differentiation-closed
+            # kernel family (ops/pallas/flash_attention_so.py)
+            return flash_attend_so(q, k, v, null_kv, heads, l2_dist, scale)
         # flash_auto expects (..., n, d)-shaped probes
         probe_q = q[..., :d]
         probe_k = k[..., :d]
         use_flash = (
             flash_auto(probe_q, probe_k)
             and not _HV_MODE.get()
+            and not _SO_MODE.get()
             and head_group(heads, d) is not None
         )
     if use_flash:

@@ -342,16 +342,22 @@ class TrainStepBuilder:
 
         gp_loss = jnp.asarray(0.0)
         if apply_gp and self.gp_chunk is None and not self.gp_fwd_over_rev:
-            # reverse-over-reverse fallback: the SAME batched [real; fake]
-            # call via one vjp, flash disabled (its VJP is first-order).
-            # The joint vjp yields both input gradients at once (real
-            # logits have no fake dependence and vice versa, so the cross
-            # terms are structurally zero).
-            from gigagan_tpu.ops.pallas.flash_attention import (
-                flash_disabled,
+            # reverse-over-reverse default: the SAME batched [real; fake]
+            # call via one vjp.  The joint vjp yields both input gradients
+            # at once (real logits have no fake dependence and vice versa,
+            # so the cross terms are structurally zero).  Attention runs on
+            # the differentiation-closed fused-heads kernels
+            # (ops/pallas/flash_attention_so): the trace's attend_fused
+            # calls lower to flash_attend_so, whose backward is itself a
+            # custom-vjp Pallas op with a second-order adjoint kernel — so
+            # the R1 double-backward keeps the (n, n) maps in VMEM instead
+            # of XLA's materialized fp32 double-backward.  Ineligible
+            # attention shapes fall back to XLA inside the same context.
+            from gigagan_tpu.ops.pallas.flash_attention_so import (
+                flash_so_mode,
             )
 
-            with flash_disabled():
+            with flash_so_mode():
                 (logits, ms, aux_losses), pair_vjp = jax.vjp(
                     d_on_pair, real_images, fake_aug
                 )
@@ -507,11 +513,11 @@ class TrainStepBuilder:
                         )
                         return lg, msl
 
-                    from gigagan_tpu.ops.pallas.flash_attention import (
-                        flash_disabled,
+                    from gigagan_tpu.ops.pallas.flash_attention_so import (
+                        flash_so_mode,
                     )
 
-                    with flash_disabled():  # flash VJP is first-order
+                    with flash_so_mode():  # second-order flash kernels
                         (lg, msl), vjp_fn = jax.vjp(
                             d_chunk, r_chunk, f_chunk
                         )

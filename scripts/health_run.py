@@ -15,7 +15,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax
 import numpy as np
 
-from gigagan_tpu.data import MockImageDataset
+from gigagan_tpu.data import SyntheticShapesDataset
 from gigagan_tpu.train import GigaGAN
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 500
@@ -38,26 +38,7 @@ gan = GigaGAN(
     seed=0,
 )
 
-# structured mock data (smooth random fields, not iid noise) so D has
-# actual low-frequency signal to model
-class SmoothMockDataset(MockImageDataset):
-    def __getitem__(self, index):
-        rng = np.random.default_rng((self.seed, index))
-        low = rng.random((8, 8, self.channels)).astype(np.float32)
-        # bilinear-ish upsample via repeat + box smoothing
-        img = np.kron(low, np.ones((32, 32, 1), np.float32))
-        k = np.ones(17, np.float32) / 17.0
-        img = np.apply_along_axis(
-            lambda r: np.convolve(r, k, mode="same"), 0, img
-        )
-        img = np.apply_along_axis(
-            lambda r: np.convolve(r, k, mode="same"), 1, img
-        )
-        noise = 0.05 * rng.standard_normal(img.shape).astype(np.float32)
-        return np.clip(img + noise, 0.0, 1.0)
-
-
-ds = SmoothMockDataset(256, length=512, seed=7)
+ds = SyntheticShapesDataset(256, length=512, seed=7)
 gan.set_dataloader(ds.get_dataloader(8))
 gan.forward(steps=STEPS, grad_accum_every=1)
 

@@ -523,3 +523,169 @@ class TestFusedHeadsAttention:
                 a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
                 err_msg=f"d{name} mismatch",
             )
+
+class TestSecondOrderFusedAttention:
+    """The differentiation-closed fused-heads family
+    (ops/pallas/flash_attention_so): forward, first-order backward
+    (`flash_bwd_so` primal), and the adjoint-of-backward kernel must match
+    XLA autodiff of the exact split-heads fallback — including the
+    reverse-over-reverse R1 structure the default GP step traces."""
+
+    def _qkv(self, seed=0, b=2, heads=3, nq=16, nk=24, d=8):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+        q = jax.random.normal(ks[0], (b, nq, heads * d))
+        k = jax.random.normal(ks[1], (b, nk, heads * d))
+        v = jax.random.normal(ks[2], (b, nk, heads * d))
+        null_kv = jax.random.normal(ks[3], (2, heads, d))
+        g = jax.random.normal(ks[4], (b, nq, heads * d))
+        return q, k, v, null_kv, g
+
+    @staticmethod
+    def _ref(heads, l2, null):
+        from gigagan_tpu.ops.attention import attend_fused
+
+        def f(q, k, v, nkv):
+            return attend_fused(
+                q, k, v, heads=heads,
+                null_kv=(nkv if null else None),
+                l2_dist=l2, use_flash=False,
+            )
+        return f
+
+    @pytest.mark.parametrize("l2,with_null", [
+        (True, True), (False, True), (True, False), (False, False),
+    ])
+    def test_backward_primal_matches_xla_vjp(self, l2, with_null):
+        from gigagan_tpu.ops.pallas.flash_attention_so import flash_bwd_so
+
+        q, k, v, null_kv, g = self._qkv()
+        null = null_kv if with_null else None
+        got = flash_bwd_so(q, k, v, null, g, 3, l2, None, True)
+        _, vjp = jax.vjp(self._ref(3, l2, with_null), q, k, v, null_kv)
+        want = vjp(g)
+        names = ("dq", "dk", "dv", "dnull")
+        for name, a, b_ in zip(names, got, want):
+            if a is None:
+                assert not with_null
+                continue
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=2e-4, atol=2e-4,
+                err_msg=f"{name} mismatch",
+            )
+
+    @pytest.mark.parametrize("l2,with_null", [
+        (True, True), (False, True), (True, False), (False, False),
+    ])
+    def test_adjoint_of_backward_matches_xla(self, l2, with_null):
+        """Differentiate a weighted sum of the backward's outputs w.r.t.
+        every input — exercises the full `_bwd2_kernel` adjoint."""
+        from gigagan_tpu.ops.pallas.flash_attention_so import flash_bwd_so
+
+        q, k, v, null_kv, g = self._qkv(seed=1)
+        null = null_kv if with_null else None
+        ks = jax.random.split(jax.random.PRNGKey(99), 4)
+        wq = jax.random.normal(ks[0], q.shape)
+        wk = jax.random.normal(ks[1], k.shape)
+        wv = jax.random.normal(ks[2], v.shape)
+        wn = jax.random.normal(ks[3], null_kv.shape)
+
+        def loss_so(q, k, v, nkv, g):
+            dq, dk, dv, dn = flash_bwd_so(
+                q, k, v, (nkv if with_null else None), g, 3, l2, None,
+                True,
+            )
+            out = (jnp.sum(wq * dq) + jnp.sum(wk * dk)
+                   + jnp.sum(wv * dv))
+            if with_null:
+                out = out + jnp.sum(wn * dn)
+            return out
+
+        def loss_ref(q, k, v, nkv, g):
+            _, vjp = jax.vjp(self._ref(3, l2, with_null), q, k, v, nkv)
+            dq, dk, dv, dn = vjp(g)
+            out = (jnp.sum(wq * dq) + jnp.sum(wk * dk)
+                   + jnp.sum(wv * dv))
+            if with_null:
+                out = out + jnp.sum(wn * dn)
+            return out
+
+        g_so = jax.grad(loss_so, argnums=(0, 1, 2, 3, 4))(
+            q, k, v, null_kv, g
+        )
+        g_rf = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            q, k, v, null_kv, g
+        )
+        for name, a, b_ in zip(("cq", "ck", "cv", "cnull", "cg"),
+                               g_so, g_rf):
+            if name == "cnull" and not with_null:
+                continue
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=3e-4, atol=3e-4,
+                err_msg=f"{name} mismatch",
+            )
+
+    @pytest.mark.parametrize("l2", [True, False])
+    def test_r1_reverse_over_reverse_matches_xla(self, l2):
+        """The exact GP structure of steps.py's default branch: vjp through
+        the attention, squared-norm penalty on the input gradient, outer
+        grad w.r.t. every operand (incl. the hinge term on the primal
+        output riding the same tape)."""
+        from gigagan_tpu.ops.pallas.flash_attention_so import (
+            flash_attend_so,
+        )
+
+        q, k, v, null_kv, _ = self._qkv(seed=2)
+        ref = self._ref(3, l2, True)
+
+        def r1(f):
+            def inner(q, k, v, nkv):
+                out, vjp = jax.vjp(
+                    lambda x: f(x, k, v, nkv), q
+                )
+                (gx,) = vjp(jnp.ones_like(out))
+                return (jnp.sum(gx.astype(jnp.float32) ** 2)
+                        + jnp.sum(out ** 2))
+            return inner
+
+        f_so = lambda q_, k_, v_, n_: flash_attend_so(
+            q_, k_, v_, n_, 3, l2, None, True
+        )
+        g_so = jax.grad(r1(f_so), argnums=(0, 1, 2, 3))(q, k, v, null_kv)
+        g_rf = jax.grad(r1(ref), argnums=(0, 1, 2, 3))(q, k, v, null_kv)
+        for name, a, b_ in zip(("q", "k", "v", "null"), g_so, g_rf):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=3e-4, atol=3e-4,
+                err_msg=f"R1 d{name} mismatch",
+            )
+
+    def test_r1_shared_qk(self):
+        """SelfAttention's shared-q/k L2 geometry (the production D path)
+        under reverse-over-reverse, grads w.r.t. the shared projection."""
+        from gigagan_tpu.ops.pallas.flash_attention_so import (
+            flash_attend_so,
+        )
+
+        q, _, v, null_kv, _ = self._qkv(seed=3, nq=16, nk=16)
+        ref = self._ref(3, True, True)
+
+        def r1(f):
+            def inner(qk, v, nkv):
+                out, vjp = jax.vjp(lambda x: f(x, x, v, nkv), qk)
+                (gx,) = vjp(jnp.ones_like(out))
+                return jnp.sum(gx.astype(jnp.float32) ** 2)
+            return inner
+
+        f_so = lambda q_, k_, v_, n_: flash_attend_so(
+            q_, k_, v_, n_, 3, True, None, True
+        )
+        g_so = jax.grad(r1(f_so), argnums=(0, 1, 2))(q, v, null_kv)
+        g_rf = jax.grad(r1(ref), argnums=(0, 1, 2))(q, v, null_kv)
+        for name, a, b_ in zip(("qk", "v", "null"), g_so, g_rf):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=3e-4, atol=3e-4,
+                err_msg=f"shared-qk R1 d{name} mismatch",
+            )

@@ -323,6 +323,65 @@ class TestTrainLoop:
             out[True], out[False],
         )
 
+    def test_gp_so_flash_kernels_match_xla_step(self, tmp_path, monkeypatch):
+        """The default reverse-over-reverse GP d-step with the
+        differentiation-closed SO flash kernels engaged (interpret mode —
+        size gates monkeypatched since CPU never auto-dispatches) must
+        produce the same parameter update and penalty as the pure-XLA
+        trace.  Guards the steps.py flash_so_mode wiring end to end."""
+        import gigagan_tpu.ops.pallas.flash_attention as fa
+        import gigagan_tpu.ops.pallas.flash_attention_so as fso
+
+        d_cfg = dict(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=32,
+            attn_resolutions=(8,),
+            multiscale_input_resolutions=(8,),
+            aux_recon_resolutions=(8,),
+            aux_recon_patch_dims=(1,),
+            aux_recon_frac_patches=(1.0,),
+            num_conv_kernels=2,
+            unconditional=True,
+        )
+        engaged = {"n": 0}
+        orig_so = fso.flash_attend_so
+
+        def counting_so(*args, **kwargs):
+            engaged["n"] += 1
+            return orig_so(*args, **kwargs)
+
+        out = {}
+        for use_so in (True, False):
+            if use_so:
+                monkeypatch.setattr(fa, "flash_auto", lambda q, k: True)
+                monkeypatch.setattr(fso, "flash_auto", lambda q, k: True)
+                monkeypatch.setattr(fso, "flash_attend_so", counting_so)
+            else:
+                monkeypatch.undo()
+            gan = tiny_gan(
+                tmp_path / f"so{use_so}", seed=0,
+                discriminator=dict(d_cfg),
+            )
+            ds = MockImageDataset(IMAGE_SIZE, length=32, seed=0)
+            batch = gan._collect_batch(iter(ds.get_dataloader(8)), 1)
+            m = gan.train_discriminator_step(
+                batch, grad_accum_every=1,
+                apply_gradient_penalty=True, calc_multiscale_loss=True,
+            )
+            out[use_so] = (
+                jax.device_get(gan.state.d_params),
+                float(m["gradient_penalty"]),
+            )
+        assert engaged["n"] > 0, "SO kernel never dispatched"
+        np.testing.assert_allclose(out[True][1], out[False][1], rtol=2e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=5e-3, atol=3e-6
+            ),
+            out[True][0], out[False][0],
+        )
+
     def test_gp_fwd_over_rev_matches_double_backward(self, tmp_path):
         """The forward-over-reverse R1 surrogate (∇θ 2⟨∇ₓφ, sg(∇ₓφ)⟩ via
         one jvp) must produce the same d-step parameter update as the
