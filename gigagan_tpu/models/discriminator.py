@@ -34,6 +34,7 @@ from gigagan_tpu.models.layers import (
     KAIMING_CONV,
     AdaptiveConv,
     Downsample,
+    S2DConv,
     SelfAttentionBlock,
     SqueezeExcite,
     conv1x1,
@@ -151,15 +152,48 @@ class DStageCore(nn.Module):
     attn_dim_head: int = 64
     ff_mult: int = 4
     dot_product: bool = False
+    # space-to-depth trunk representations (ops/s2d.py): the stage input
+    # arrives in s2d layout (s2d_in), the convs run in s2d layout (s2d),
+    # and the residual leaves in the representation of the stage OUTPUT
+    # (s2d_out — matches what Downsample produces for the next stage).
+    # Parameter layout is identical in every mode.
+    s2d: bool = False
+    s2d_in: bool = False
+    s2d_out: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        residual = nn.Conv(
-            self.dim_out, (1, 1),
-            strides=(2, 2) if self.downsample else (1, 1),
-            kernel_init=KAIMING_CONV, dtype=self.dtype, name="residual_conv",
-        )(x)
+        if self.s2d:
+            assert not self.has_attn, "s2d stages must not carry attention"
+            assert self.downsample, "s2d gating excludes the last stage"
+            residual = S2DConv(
+                self.dim_out, kernel=1, stride=2,
+                in_s2d=self.s2d_in, out_s2d=self.s2d_out,
+                dtype=self.dtype, name="residual_conv",
+            )(x)
+            x = S2DConv(self.dim_out, kernel=3, in_s2d=self.s2d_in,
+                        dtype=self.dtype, name="conv_block1")(x)
+            x = leaky_relu(x)
+            x = S2DConv(self.dim_out, kernel=3,
+                        dtype=self.dtype, name="conv_block2")(x)
+            x = leaky_relu(x)
+            return x, residual
+        if self.s2d_out:
+            # normal-rep stage feeding an s2d-rep successor: the stride-2
+            # residual leaves directly in the successor's layout
+            assert self.downsample and not self.s2d_in
+            residual = S2DConv(
+                self.dim_out, kernel=1, stride=2, in_s2d=False,
+                out_s2d=True, dtype=self.dtype, name="residual_conv",
+            )(x)
+        else:
+            residual = nn.Conv(
+                self.dim_out, (1, 1),
+                strides=(2, 2) if self.downsample else (1, 1),
+                kernel_init=KAIMING_CONV, dtype=self.dtype,
+                name="residual_conv",
+            )(x)
         x = conv3x3(self.dim_out, dtype=self.dtype, name="conv_block1")(x)
         x = leaky_relu(x)
         x = conv3x3(self.dim_out, dtype=self.dtype, name="conv_block2")(x)
@@ -198,6 +232,11 @@ class Discriminator(nn.Module):
     unconditional: bool = False
     predictor_depth: int = 2
     remat_stages: bool = False
+    # Run thin-channel high-res stages in space-to-depth layout
+    # (ops/s2d.py): exact algebra, identical parameters, dense TPU lanes.
+    # Gated per stage to dim_in < 128 plain conv pyramids (no attention /
+    # predictor / recon decoder at that stage).
+    s2d_trunk: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -275,12 +314,35 @@ class Discriminator(nn.Module):
         predictor_dims = []
         stages = []
 
+        # Space-to-depth trunk gating (see `s2d_trunk`): a stage runs its
+        # convs in s2d layout when its input channels under-fill the TPU
+        # lanes and nothing at that stage needs the normal representation.
+        s2d_flags = [
+            self.s2d_trunk
+            and dim_in < 128
+            and (ind + 1) < len(dim_pairs)  # never the last (4x4) stage
+            and resolution >= 8
+            and resolution not in self.attn_resolutions
+            and resolution not in ms_output
+            and resolution not in self.aux_recon_resolutions
+            for ind, ((dim_in, dim_out), resolution) in enumerate(
+                zip(dim_pairs, resolutions)
+            )
+        ]
+        s2d_flags.append(False)  # sentinel: rep after the last stage
+        self._s2d_flags = tuple(s2d_flags)
+
         for ind, ((dim_in, dim_out), resolution) in enumerate(
             zip(dim_pairs, resolutions)
         ):
             is_first = ind == 0
             is_last = (ind + 1) == len(dim_pairs)
             should_downsample = not is_last
+            stage_s2d = s2d_flags[ind]
+            # input rep: previous stage's Downsample emitted s2d iff this
+            # stage is s2d (stage 0 reads raw images — always normal)
+            stage_s2d_in = stage_s2d and not is_first
+            stage_s2d_out = s2d_flags[ind + 1]
             should_skip_layer_excite = (
                 not is_first
                 and self.num_skip_layers_excite > 0
@@ -297,7 +359,9 @@ class Discriminator(nn.Module):
                 dim_skip_in, _ = dim_pairs[
                     ind + self.num_skip_layers_excite
                 ]
-                squeeze_excite = SqueezeExcite(dim_skip_in, dtype=self.dtype)
+                squeeze_excite = SqueezeExcite(
+                    dim_skip_in, in_s2d=stage_s2d_in, dtype=self.dtype
+                )
 
             predictor = None
             if has_multiscale_output:
@@ -323,14 +387,24 @@ class Discriminator(nn.Module):
             core_klass = (
                 nn.remat(DStageCore) if self.remat_stages else DStageCore
             )
+            if stage_s2d_in:
+                # injected rgb features must arrive in the stem's layout
+                from_rgb = S2DConv(
+                    dim_in, kernel=7, in_s2d=False, out_s2d=True,
+                    dtype=self.dtype,
+                )
+            else:
+                from_rgb = nn.Conv(
+                    dim_in, (7, 7), padding="SAME",
+                    kernel_init=KAIMING_CONV, dtype=self.dtype,
+                )
             stages.append(dict(
                 resolution=resolution,
                 has_multiscale_input=resolution in ms_input,
+                s2d=stage_s2d,
+                s2d_in=stage_s2d_in,
                 squeeze_excite=squeeze_excite,
-                from_rgb=nn.Conv(
-                    dim_in, (7, 7), padding="SAME",
-                    kernel_init=KAIMING_CONV, dtype=self.dtype,
-                ),
+                from_rgb=from_rgb,
                 core=core_klass(
                     dim_out,
                     downsample=should_downsample,
@@ -339,11 +413,17 @@ class Discriminator(nn.Module):
                     attn_dim_head=self.attn_dim_head,
                     ff_mult=self.ff_mult,
                     dot_product=self.self_attn_dot_product,
+                    s2d=stage_s2d,
+                    s2d_in=stage_s2d_in,
+                    s2d_out=stage_s2d_out,
                     dtype=self.dtype,
                 ),
                 predictor=predictor,
                 recon_decoder=recon_decoder,
-                downsample=Downsample(dim_out, dtype=self.dtype)
+                downsample=Downsample(
+                    dim_out, in_s2d=stage_s2d, out_s2d=stage_s2d_out,
+                    dtype=self.dtype,
+                )
                 if should_downsample
                 else None,
             ))
@@ -442,6 +522,10 @@ class Discriminator(nn.Module):
             excite_entry = excitations.pop(0) if excitations else None
             if exists(excite_entry):
                 excite, excite_groups = excite_entry
+                if stage["s2d_in"]:
+                    # x is in space-to-depth layout: broadcast the
+                    # per-original-channel gates over sub-positions
+                    excite = ops.s2d.s2d_gate(excite)
                 ratio = num_groups // excite_groups
                 e5 = excite.reshape(batch, excite_groups, *excite.shape[1:])
                 e5 = jnp.tile(e5, (1, ratio) + (1,) * (excite.ndim - 1))

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gigagan_tpu import ops
 from gigagan_tpu.models.conditioning import StyleNetwork, TextEncoder
 from gigagan_tpu.models.layers import (
     AdaptiveConv,
@@ -81,6 +82,12 @@ class Generator(BaseGenerator):
     num_skip_layers_excite: int = 0
     unconditional: bool = False
     pixel_shuffle_upsample: bool = False
+    # Run thin-channel high-res stages in space-to-depth layout
+    # (ops/s2d.py): exact algebra, identical parameters, dense TPU lanes.
+    # Gated per stage to dim_out < 128 attention-free stages; disabled
+    # under pixel_shuffle_upsample (its Dense upsampler is not yet
+    # expressed in s2d form).
+    s2d_trunk: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -145,6 +152,26 @@ class Generator(BaseGenerator):
                 return PixelShuffleUpsample(use_icnr=False, dtype=self.dtype)
             return Upsample()
 
+        # Space-to-depth trunk gating: a stage runs in s2d layout when its
+        # channels under-fill the TPU lanes and nothing at that stage needs
+        # the normal representation (see `s2d_trunk`).
+        s2d_flags = [
+            self.s2d_trunk
+            and not self.pixel_shuffle_upsample
+            and ind > 0
+            and dim_out < 128
+            and resolution >= 32
+            and resolution not in self.self_attn_resolutions
+            and not (
+                resolution in self.cross_attn_resolutions
+                and not self.unconditional
+            )
+            for ind, ((dim_in, dim_out), resolution) in enumerate(
+                zip(dim_pairs, resolutions)
+            )
+        ]
+        self._s2d_flags = tuple(s2d_flags)
+
         stages = []
         for ind, ((dim_in, dim_out), resolution) in enumerate(
             zip(dim_pairs, resolutions)
@@ -164,29 +191,36 @@ class Generator(BaseGenerator):
                 resolution in self.cross_attn_resolutions
                 and not self.unconditional
             )
+            stage_s2d = s2d_flags[ind]
 
             squeeze_excite = None
             if should_skip_layer_excite:
                 dim_skip_in, _ = dim_pairs[ind + self.num_skip_layers_excite]
-                squeeze_excite = SqueezeExcite(dim_skip_in, dtype=self.dtype)
+                squeeze_excite = SqueezeExcite(
+                    dim_skip_in, in_s2d=stage_s2d, dtype=self.dtype
+                )
 
             stage = dict(
+                s2d=stage_s2d,
                 upsample=make_upsample() if should_upsample else None,
                 upsample_rgb=make_upsample() if should_upsample_rgb else None,
                 squeeze_excite=squeeze_excite,
                 conv1=AdaptiveConv(
                     dim_out, kernel=3,
-                    num_conv_kernels=self.num_conv_kernels, dtype=self.dtype,
+                    num_conv_kernels=self.num_conv_kernels,
+                    in_s2d=stage_s2d, out_s2d=stage_s2d, dtype=self.dtype,
                 ),
-                noise1=Noise(dtype=self.dtype),
+                noise1=Noise(in_s2d=stage_s2d, dtype=self.dtype),
                 conv2=AdaptiveConv(
                     dim_out, kernel=3,
-                    num_conv_kernels=self.num_conv_kernels, dtype=self.dtype,
+                    num_conv_kernels=self.num_conv_kernels,
+                    in_s2d=stage_s2d, out_s2d=stage_s2d, dtype=self.dtype,
                 ),
-                noise2=Noise(dtype=self.dtype),
+                noise2=Noise(in_s2d=stage_s2d, dtype=self.dtype),
                 to_rgb=AdaptiveConv(
                     self.channels, kernel=1, num_conv_kernels=1,
-                    demod=False, dtype=self.dtype,
+                    demod=False, in_s2d=stage_s2d, out_s2d=stage_s2d,
+                    dtype=self.dtype,
                 ),
                 self_attn=SelfAttentionBlock(
                     dim_out,
@@ -300,16 +334,32 @@ class Generator(BaseGenerator):
 
         excitations = [None] * self.num_skip_layers_excite
         rgbs = []
+        x_s2d = rgb_s2d = False
 
         for stage in self.stages:
+            stage_s2d = stage["s2d"]
+            if stage_s2d and not x_s2d:
+                # entering the s2d trunk: relayout the (dense, low-res)
+                # inputs once; everything after stays in s2d layout
+                x = ops.s2d.to_s2d(x)
+                x_s2d = True
+            elif not stage_s2d and x_s2d:  # defensive; rule is monotone
+                x = ops.s2d.from_s2d(x)
+                x_s2d = False
+
             if exists(stage["upsample"]):
-                x = stage["upsample"](x)
+                if stage_s2d:
+                    x = ops.s2d.s2d_upsample_2x_blur(x)
+                else:
+                    x = stage["upsample"](x)
 
             if exists(stage["squeeze_excite"]):
                 excitations.append(stage["squeeze_excite"](x))
 
             excite = excitations.pop(0) if excitations else None
             if exists(excite):
+                if stage_s2d:
+                    excite = ops.s2d.s2d_gate(excite)
                 x = x * excite
 
             x = stage["conv1"](x, mod=conv_mods.next(),
@@ -332,13 +382,23 @@ class Generator(BaseGenerator):
 
             layer_rgb = stage["to_rgb"](x, mod=conv_mods.next(),
                                         kernel_mod=conv_mods.next())
+            if stage_s2d and not rgb_s2d:
+                rgb = ops.s2d.to_s2d(rgb)
+                rgb_s2d = True
             rgb = rgb + layer_rgb
-            rgbs.append(rgb)
+            # collected rgbs leave in normal layout (multiscale D input)
+            rgbs.append(ops.s2d.from_s2d(rgb) if rgb_s2d else rgb)
 
             if exists(stage["upsample_rgb"]):
-                rgb = stage["upsample_rgb"](rgb)
+                if rgb_s2d:
+                    rgb = ops.s2d.s2d_upsample_2x_blur(rgb)
+                else:
+                    rgb = stage["upsample_rgb"](rgb)
 
         conv_mods.assert_exhausted()
+
+        if rgb_s2d:
+            rgb = ops.s2d.from_s2d(rgb)
 
         if return_all_rgbs:
             return rgb, rgbs

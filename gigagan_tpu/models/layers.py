@@ -142,29 +142,129 @@ class Downsample(nn.Module):
     """space-to-depth + 1x1 conv (reference: :289-293) — algebraically ONE
     2×2 stride-2 conv (the space-to-depth gather is absorbed into the conv
     window), dodging the interleave relayout copies (~4ms/iter of the
-    round-3 no-GP device trace)."""
+    round-3 no-GP device trace).
+
+    ``in_s2d``/``out_s2d`` select the space-to-depth representations of the
+    discriminator's thin-channel trunk (ops/s2d.py): with in_s2d the op IS
+    the Dense it always was (the input already holds the space-to-depth'd
+    pixels), and out_s2d additionally folds the NEXT stage's s2d relayout
+    into the projection.  Param layout is identical in every mode."""
+
+    dim: int
+    in_s2d: bool = False
+    out_s2d: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if not self.in_s2d and not self.out_s2d:
+            return _SpaceToDepthProj(self.dim, dtype=self.dtype,
+                                     name="proj")(x)
+        if not self.in_s2d:
+            # normal input, s2d output: the 2x2/stride-2 conv view of the
+            # projection with the next s2d relayout scattered in
+            return _S2DProjEntry(self.dim, dtype=self.dtype, name="proj")(x)
+        return _S2DProjDense(self.dim, out_s2d=self.out_s2d,
+                             dtype=self.dtype, name="proj")(x)
+
+
+class _S2DProjEntry(nn.Module):
+    """Downsample projection from a normal-layout input producing
+    space-to-depth-layout output (param layout identical to
+    _SpaceToDepthProj)."""
 
     dim: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return _SpaceToDepthProj(self.dim, dtype=self.dtype, name="proj")(x)
+        c = x.shape[-1]
+        kernel = self.param("kernel", KAIMING_DENSE, (4 * c, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        w = kernel.reshape(c, 2, 2, self.dim).transpose(1, 2, 0, 3)
+        return ops.s2d.s2d_conv(
+            x.astype(self.dtype), w.astype(self.dtype), stride=2,
+            in_s2d=False, out_s2d=True, bias=bias.astype(self.dtype),
+        )
+
+
+class _S2DProjDense(nn.Module):
+    """Downsample projection when the input already holds space-to-depth'd
+    pixels: a plain Dense (param layout identical to _SpaceToDepthProj —
+    kernel (4c, dim)), optionally folding the next stage's s2d relayout."""
+
+    dim: int
+    out_s2d: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c4 = x.shape[-1]
+        c = c4 // 4
+        kernel = self.param("kernel", KAIMING_DENSE, (c4, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        # param rows are channel-major (c, s1, s2) — the reference's
+        # space-to-depth order — while s2d activations are position-major
+        # (s1, s2, c); reorder the weight-sized kernel, not the data
+        w = kernel.reshape(c, 2, 2, self.dim).transpose(1, 2, 0, 3)
+        w = w.reshape(c4, self.dim).astype(self.dtype)
+        xd = x.astype(self.dtype)
+        if self.out_s2d:
+            return ops.s2d.dense_to_s2d(
+                xd, w, bias=bias.astype(self.dtype)
+            )
+        y = jnp.einsum("bhwc,cd->bhwd", xd, w)
+        return y + bias.astype(self.dtype)
+
+
+class S2DConv(nn.Module):
+    """Drop-in replacement for ``conv3x3``/1×1 ``nn.Conv`` that evaluates in
+    space-to-depth layout (ops/s2d.py): the parameter keeps the ordinary
+    (k, k, ci, co) HWIO layout (checkpoint/weight-port identical to
+    nn.Conv), while the conv itself runs with the scattered kernel over
+    dense-lane s2d activations.  ``in_s2d=False`` is the entry form taking
+    a normal-layout input (e.g. raw images) straight into s2d output."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    in_s2d: bool = True
+    out_s2d: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1] // (4 if self.in_s2d else 1)
+        kernel = self.param(
+            "kernel", KAIMING_CONV,
+            (self.kernel, self.kernel, ci, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return ops.s2d.s2d_conv(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            stride=self.stride, in_s2d=self.in_s2d, out_s2d=self.out_s2d,
+            bias=bias.astype(self.dtype),
+        )
 
 
 class SqueezeExcite(nn.Module):
     """Global pool → MLP → sigmoid gate (reference: :297-307).  Returns the
-    (b, 1, 1, dim_out) gate; the caller multiplies it into a deeper layer."""
+    (b, 1, 1, dim_out) gate; the caller multiplies it into a deeper layer.
+    ``in_s2d`` pools a space-to-depth-layout input per ORIGINAL channel."""
 
     dim_out: int
     reduction: int = 4
     dim_min: int = 32
+    in_s2d: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dim_hidden = max(self.dim_out // self.reduction, self.dim_min)
-        g = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))
+        if self.in_s2d:
+            g = ops.s2d.s2d_global_pool(x, keepdims=False)
+        else:
+            g = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))
         g = conv1x1(dim_hidden, dtype=self.dtype, name="fc1")(g)
         g = jax.nn.silu(g)
         g = conv1x1(self.dim_out, dtype=self.dtype, name="fc2")(g)
@@ -174,17 +274,35 @@ class SqueezeExcite(nn.Module):
 
 class Noise(nn.Module):
     """Per-pixel noise with learned per-channel weight (reference: :925-940).
-    Explicit `noise` wins; otherwise draws from the 'noise' RNG stream."""
+    Explicit `noise` wins; otherwise draws from the 'noise' RNG stream.
 
+    ``in_s2d``: x is in space-to-depth layout (position-major); the noise
+    is still drawn in NORMAL pixel layout (identical RNG stream to the
+    plain path) and viewed per sub-position, the weight broadcast per
+    original channel."""
+
+    in_s2d: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, noise=None):
-        weight = self.param("weight", nn.initializers.zeros, (x.shape[-1],))
+        if not self.in_s2d:
+            weight = self.param("weight", nn.initializers.zeros,
+                                (x.shape[-1],))
+            if not exists(noise):
+                key = self.make_rng("noise")
+                noise = jax.random.normal(key, (*x.shape[:-1], 1), x.dtype)
+            return x + weight.astype(x.dtype) * noise
+        b, g1, g2, c4 = x.shape
+        c = c4 // 4
+        weight = self.param("weight", nn.initializers.zeros, (c,))
         if not exists(noise):
             key = self.make_rng("noise")
-            noise = jax.random.normal(key, (*x.shape[:-1], 1), x.dtype)
-        return x + weight.astype(x.dtype) * noise
+            noise = jax.random.normal(key, (b, 2 * g1, 2 * g2, 1), x.dtype)
+        noise_s2d = ops.s2d.to_s2d(noise)  # (b, g1, g2, 4)
+        xv = x.reshape(b, g1, g2, 4, c)
+        xv = xv + weight.astype(x.dtype) * noise_s2d[..., None]
+        return xv.reshape(b, g1, g2, c4)
 
 
 class EqualLinear(nn.Module):
@@ -217,16 +335,19 @@ class AdaptiveConv(nn.Module):
     kernel: int = 3
     demod: bool = True
     num_conv_kernels: int = 1
+    in_s2d: bool = False
+    out_s2d: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, fmap, mod, kernel_mod=None):
-        rank = fmap.ndim - 2
+        rank = 2 if self.in_s2d else fmap.ndim - 2
         n = max(self.num_conv_kernels, 1)
+        ci = fmap.shape[-1] // (4 if self.in_s2d else 1)
         weights = self.param(
             "weights",
             kaiming_normal_leaky("bank"),
-            (n, *((self.kernel,) * rank), fmap.shape[-1], self.dim_out),
+            (n, *((self.kernel,) * rank), ci, self.dim_out),
         )
         if n == 1:
             kernel_mod = None
@@ -236,6 +357,8 @@ class AdaptiveConv(nn.Module):
             mod,
             kernel_mod,
             demod=self.demod,
+            in_s2d=self.in_s2d,
+            out_s2d=self.out_s2d,
         )
 
     @property

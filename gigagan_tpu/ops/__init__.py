@@ -3,6 +3,7 @@ from gigagan_tpu.ops.adaptive_conv import (
     adaptive_conv_reference,
     kernel_gram,
 )
+from gigagan_tpu.ops import s2d
 from gigagan_tpu.ops.attention import attend, attend_fused, linear_attend
 from gigagan_tpu.ops.resample import (
     blur_2d,

@@ -144,6 +144,8 @@ def adaptive_conv(
     dilation: int = 1,
     eps: float = 1e-8,
     use_pallas=None,
+    in_s2d: bool = False,
+    out_s2d: bool = False,
 ):
     """Fused-by-construction adaptive modulated conv (2d or 1d).
 
@@ -154,9 +156,18 @@ def adaptive_conv(
 
     Matches the semantics of AdaptiveConv2DMod / AdaptiveConv1DMod
     (reference: gigagan_pytorch.py:344-409, 442-507) exactly.
+
+    in_s2d / out_s2d: evaluate in space-to-depth layout (ops/s2d.py,
+    position-major sub-channels) — the generator's thin-channel high-res
+    stages.  Exact: the mod fold / bank mixing / demodulation are
+    per-original-channel scales broadcast over sub-positions, and the conv
+    runs the scattered kernel (rank 2, stride 1 only).
     """
-    rank = x.ndim - 2
+    any_s2d = in_s2d or out_s2d
+    rank = x.ndim - 2 if not in_s2d else 2
     assert weights.ndim == rank + 3
+    if any_s2d:
+        assert rank == 2 and stride == 1 and dilation == 1
     b = x.shape[0]
     n = weights.shape[0]
     adaptive = n > 1
@@ -171,7 +182,16 @@ def adaptive_conv(
     scale_in = (mod + 1.0).astype(jnp.float32)  # (b, i)
 
     # (1) fold input-channel modulation into the activations
-    x = x * scale_in[spatial_axes + (slice(None),)].astype(compute_dtype)
+    scale_x = (
+        jnp.tile(scale_in, (1, 4)) if in_s2d else scale_in
+    )
+    x = x * scale_x[spatial_axes + (slice(None),)].astype(compute_dtype)
+
+    if any_s2d:
+        return _adaptive_conv_s2d(
+            x, weights, scale_in, kernel_mod, adaptive=adaptive,
+            demod=demod, eps=eps, in_s2d=in_s2d, out_s2d=out_s2d,
+        )
 
     # fused Pallas path: one kernel, 1x the conv FLOPs (the XLA path below
     # pays n x via the n*o-channel conv) — see ops/pallas/adaptive_conv.py
@@ -241,6 +261,46 @@ def adaptive_conv(
     if demod:
         d = demod_scale(weights, scale_in, attn, eps)
         out = out * d[spatial_axes + (slice(None),)].astype(compute_dtype)
+
+    return out
+
+
+def _adaptive_conv_s2d(
+    x, weights, scale_in, kernel_mod, *, adaptive: bool, demod: bool,
+    eps: float, in_s2d: bool, out_s2d: bool,
+):
+    """Space-to-depth evaluation of steps (2)+(3): one scattered conv with
+    n·o output channels, per-sample bank mixing and demod broadcast over
+    sub-positions (position-major channel order — ops/s2d.py)."""
+    from gigagan_tpu.ops import s2d as s2d_ops
+
+    compute_dtype = x.dtype
+    b = x.shape[0]
+    n, o = weights.shape[0], weights.shape[-1]
+
+    w_flat = jnp.moveaxis(weights, 0, -2)  # (kh, kw, i, n, o)
+    w_flat = w_flat.reshape(*weights.shape[1:-1], n * o)
+    out = s2d_ops.s2d_conv(
+        x, w_flat.astype(compute_dtype), in_s2d=in_s2d, out_s2d=out_s2d,
+    )
+    sub = 4 if out_s2d else 1
+
+    if adaptive:
+        kernel_mod = expand_batch(kernel_mod, b)
+        attn = jax.nn.softmax(kernel_mod.astype(jnp.float32), axis=-1)
+        # out channels are (sub, n, o) position-major
+        out = out.reshape(*out.shape[:-1], sub, n, o)
+        out = jnp.einsum(
+            "bn,b...no->b...o", attn.astype(compute_dtype), out
+        )
+        out = out.reshape(*out.shape[:-2], sub * o)
+    else:
+        attn = None
+
+    if demod:
+        d = demod_scale(weights, scale_in, attn, eps)  # (b, o)
+        d = jnp.tile(d, (1, sub))
+        out = out * d[:, None, None, :].astype(compute_dtype)
 
     return out
 

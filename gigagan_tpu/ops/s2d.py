@@ -1,0 +1,352 @@
+"""Space-to-depth (s2d) convolution algebra — thin-channel convs at full
+lane utilization.
+
+TPU HBM layouts tile the two minor dims to (sublane, 128-lane) vregs, so a
+channels-last feature map with c < 128 pays `128/c`× storage and bandwidth
+amplification on every materialization.  The discriminator / generator
+high-res trunk (256², 128², 64² stages with 3..64 channels) is exactly that
+shape, and device traces show those stages running 6-10× off the bandwidth
+roofline under XLA (DESIGN.md).
+
+The fix: represent high-res feature maps in **space-to-depth layout** —
+``(b, h, w, c) ≡ (b, h/2, w/2, 4c)`` — so 4c fills the lanes.  Every conv
+of the original network is **exactly** a conv in s2d space with a
+scattered ("block-Toeplitz") kernel built from the original weights:
+
+    Y(fy'+t) = Σ_d W[d] · X(s·(fy'+t) + d − p)        original conv
+    X(f·G + s_in) = X'(G)[·, s_in]                     s2d input rep
+  ⇒ Y'(y')[t] = Σ_q Ŵ[q, (s_in), (t)] · X'(σy' + q)   conv in s2d space
+
+with σ = s·f_out/f_in and the tap map ``f_in·q + s_in = s·t + d − p``.
+The scattered kernel is built per call from a constant 0/1 tap tensor and
+one weight-sized einsum — parameters keep the ORIGINAL (kh, kw, ci, co)
+layout, so checkpoints and reference weight ports are unchanged.
+
+**Channel ordering is position-major**: s2d channel index = (sy·2+sx)·c +
+c_idx, i.e. ``rearrange('b (h sy) (w sx) c -> b h w (sy sx c)')``.  This
+differs deliberately from ``ops.resample.space_to_depth``'s channel-major
+order: with c minor, the scattered-kernel einsum's output ends in the
+full-width ``co`` axis, so its materialization stays weight-sized.  The
+first s2d.py draft used channel-major order and its 8-D einsum
+intermediates ended in 2-wide minor dims — XLA padded every 2-vector to a
+(8, 128) vreg tile and kernel construction alone cost ~14 ms/iter on the
+v5e device trace.  Nothing outside this module ever observes the s2d
+ordering (entry/exit ops and parameter layouts are order-normalizing).
+
+FLOP cost of the dense scattered kernel vs the original: 4× for an
+s2d→s2d 3×3 (half the taps are structural zeros), 16/9× for the
+normal→s2d entry form.  The win is therefore gated to genuinely
+bandwidth-bound thin-channel stages (see models/discriminator.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+from jax import lax
+
+F = 2  # s2d factor
+
+
+def to_s2d(x):
+    """(b, 2h, 2w, c) → (b, h, w, 4c), position-major (sy, sx, c)."""
+    return rearrange(
+        x, "b (h sy) (w sx) c -> b h w (sy sx c)", sy=F, sx=F
+    )
+
+
+def from_s2d(x):
+    """(b, h, w, 4c) → (b, 2h, 2w, c) — inverse of `to_s2d`."""
+    return rearrange(
+        x, "b h w (sy sx c) -> b (h sy) (w sx) c", sy=F, sx=F
+    )
+
+
+@lru_cache(maxsize=None)
+def _axis_taps(k: int, stride: int, in_f: int, out_f: int):
+    """Tap tensor for one spatial axis.
+
+    Returns (A, q_min, q_max, sigma) where A[q - q_min, s_in, t, d] = 1 iff
+    original tap d of output sub-position t reads input sub-position s_in of
+    grid offset q, and sigma is the conv stride in the s2d grid.
+    """
+    p = (k - 1) // 2  # SAME padding of the original stride-1/2 conv
+    num = stride * out_f
+    assert num % in_f == 0, (k, stride, in_f, out_f)
+    sigma = num // in_f
+    entries = []
+    for t in range(out_f):
+        for d in range(k):
+            u = stride * t + d - p
+            q, s_in = divmod(u, in_f)
+            entries.append((q, s_in, t, d))
+    q_min = min(e[0] for e in entries)
+    q_max = max(e[0] for e in entries)
+    A = np.zeros((q_max - q_min + 1, in_f, out_f, k), np.float32)
+    for q, s_in, t, d in entries:
+        A[q - q_min, s_in, t, d] = 1.0
+    return A, q_min, q_max, sigma
+
+
+def scatter_kernel(w, *, stride: int = 1, in_s2d: bool = True,
+                   out_s2d: bool = True):
+    """Build the s2d-space conv kernel from original weights.
+
+    w: (kh, kw, ci, co) HWIO → (KH, KW, in_f²·ci, out_f²·co) HWIO with
+    position-major (sy, sx, c) sub-position order on both sides.
+    Returns (w_scattered, (pad_h, pad_w), (sigma_h, sigma_w)).
+    """
+    kh, kw, ci, co = w.shape
+    in_f = F if in_s2d else 1
+    out_f = F if out_s2d else 1
+    Ay, qy0, qy1, sig_y = _axis_taps(kh, stride, in_f, out_f)
+    Ax, qx0, qx1, sig_x = _axis_taps(kw, stride, in_f, out_f)
+    # W'[Qy,Qx, (s,u,i), (t,v,o)] = Σ_{d,e} Ay[Qy,s,t,d]·Ax[Qx,u,v,e]
+    #                                        ·w[d,e,i,o]
+    # position-major output order ends the einsum in the full-width co
+    # axis, keeping the 8-D intermediate's minor dims dense (see module
+    # docstring).
+    wp = jnp.einsum(
+        "ystd,xuve,deio->yxsuitvo",
+        jnp.asarray(Ay, w.dtype), jnp.asarray(Ax, w.dtype), w,
+    )
+    KY, KX = Ay.shape[0], Ax.shape[0]
+    wp = wp.reshape(KY, KX, in_f * in_f * ci, out_f * out_f * co)
+    pads = ((-qy0, qy1), (-qx0, qx1))
+    return wp, pads, (sig_y, sig_x)
+
+
+def s2d_conv(x, w, *, stride: int = 1, in_s2d: bool = True,
+             out_s2d: bool = True, bias=None):
+    """Apply the original conv `w` (kh, kw, ci, co; SAME padding, stride
+    1 or 2) to `x` held in s2d layout (or normal layout for the entry
+    form), producing s2d (or normal) output.  Exact up to fp
+    reassociation.
+    """
+    wp, pads, sigmas = scatter_kernel(
+        w.astype(x.dtype), stride=stride, in_s2d=in_s2d, out_s2d=out_s2d
+    )
+    out = lax.conv_general_dilated(
+        x, wp,
+        window_strides=sigmas,
+        padding=pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        b = jnp.tile(bias, F * F) if out_s2d else bias
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def dense_to_s2d(x, w_dense, bias=None):
+    """Fold a per-pixel Dense (cin, cout) applied at grid r into a conv
+    producing the s2d layout of the r/2-grid — i.e. Dense + the NEXT
+    space-to-depth relayout in one op: (b, r, r, cin) → (b, r/2, r/2,
+    4·cout).  Used for `Downsample` when the next stage stays in s2d
+    layout (in s2d-land the reference's space-to-depth+1×1 Downsample
+    IS a Dense, reference :289-293)."""
+    cin, cout = w_dense.shape
+    wp, pads, sigmas = scatter_kernel(
+        w_dense.reshape(1, 1, cin, cout).astype(x.dtype),
+        stride=1, in_s2d=False, out_s2d=True,
+    )
+    out = lax.conv_general_dilated(
+        x, wp, window_strides=sigmas, padding=pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias, F * F).astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Upsample (bilinear 2x + binomial blur) in s2d space
+#
+# The generator's per-stage `Upsample` (reference :257-261) is a per-channel
+# linear shift-invariant filter: bilinear 2x (half-pixel centers, edge
+# clamp) then [1,2,1]/4 blur (reflect pad), separable per axis.  On the
+# interior the per-axis composite is the 6-tap polyphase filter
+#   h = up ⊛ blur = [1, 5, 10, 10, 5, 1] / 16      (support -2..3)
+# and in s2d space it becomes a conv with lhs_dilation=2 whose taps mix the
+# row sub-positions:  y'[N, t] = Σ_u  h[2u + t - 2s] · x'[M, s],  u = N-2M.
+# Border behavior (clamp ∘ reflect) is restored EXACTLY by a correction
+# matrix C = T_true - T_conv computed once from 1-D operator probes — C is
+# nonzero only on the first/last two s2d grid rows.
+# ---------------------------------------------------------------------------
+
+
+def _up1d_matrix(n: int) -> np.ndarray:
+    """(2n, n) operator of jax.image.resize bilinear 2x (half-pixel
+    centers, edge clamp) along one axis."""
+    T = np.zeros((2 * n, n), np.float64)
+    for m in range(2 * n):
+        src = m / 2.0 - 0.25
+        i0 = int(np.floor(src))
+        w = src - i0
+        a = min(max(i0, 0), n - 1)
+        b = min(max(i0 + 1, 0), n - 1)
+        T[m, a] += 1.0 - w
+        T[m, b] += w
+    return T
+
+
+def _blur1d_matrix(n: int) -> np.ndarray:
+    """(n, n) operator of the [1,2,1]/4 blur with reflect padding."""
+    T = np.zeros((n, n), np.float64)
+    for m in range(n):
+        for k, c in ((-1, 0.25), (0, 0.5), (1, 0.25)):
+            j = m + k
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * (n - 1) - j
+            T[m, j] += c
+    return T
+
+
+_H_UP_BLUR = np.array([1, 5, 10, 10, 5, 1], np.float64) / 16.0
+_H_OFFSET = -2  # h[j] covers j = m - 2n in [-2, 3]
+
+
+@lru_cache(maxsize=None)
+def _upsample_tables():
+    """(h_map, C_top, C_bot): the interior s2d tap map
+    h_map[u, s, t] = h[2u + t - 2s] (u in [-2, 2] → index u+2), and the
+    border-correction blocks in s2d coordinates:
+    C_top[N, t, M, s] = C[2N+t, 2M+s] for the first 2 output / 3 input
+    grid rows, C_bot likewise from the end (flipped indexing)."""
+    n = 16
+    T_true = _blur1d_matrix(2 * n) @ _up1d_matrix(n)
+    T_conv = np.zeros_like(T_true)
+    for m in range(2 * n):
+        for j, c in enumerate(_H_UP_BLUR):
+            num = m - (j + _H_OFFSET)
+            if num % 2 == 0 and 0 <= num // 2 < n:
+                T_conv[m, num // 2] += c
+    C = T_true - T_conv
+    assert np.abs(C[4:-4]).max() == 0.0, "border corrections wider than 4"
+    assert np.abs(C[:4, 4:]).max() == 0.0
+    assert np.abs(C[-4:, :-4]).max() == 0.0
+
+    h_map = np.zeros((5, 2, 2), np.float32)  # u+2, s, t
+    for u in range(-2, 3):
+        for s in range(2):
+            for t in range(2):
+                j = 2 * u + t - 2 * s - _H_OFFSET
+                if 0 <= j < len(_H_UP_BLUR):
+                    h_map[u + 2, s, t] = _H_UP_BLUR[j]
+
+    def to_s2d_block(Cblock):  # (4, 6) resolution rows → s2d coords
+        out = np.zeros((2, 2, 3, 2), np.float32)
+        for N in range(2):
+            for t in range(2):
+                for M in range(3):
+                    for s in range(2):
+                        out[N, t, M, s] = Cblock[2 * N + t, 2 * M + s]
+        return out
+
+    C_top = to_s2d_block(C[:4, :6])
+    # forward-ordered coordinates into the LAST 2 output / 3 input grid rows
+    C_bot = to_s2d_block(C[-4:, -6:])
+    return h_map, C_top, C_bot
+
+
+def _upsample_axis(x, axis: int):
+    """Apply the composite up+blur filter along one spatial axis of an s2d
+    tensor (position-major channels), doubling that axis's grid size.
+    axis: 1 (rows, mixes sy) or 2 (cols, mixes sx)."""
+    h_map, C_top, C_bot = _upsample_tables()
+    b, g1, g2, c4 = x.shape
+    c = c4 // 4
+    # sub-position factor this axis mixes: rows → sy (major, block 2c),
+    # cols → sx (middle, block c)
+    if axis == 1:
+        rest = 2 * c  # (sx, c) untouched
+        view = (2, rest)
+    else:
+        rest = c
+        view = (2, 2, c)  # (sy, sx, c); sx mixed, sy untouched
+
+    # kernel K[k, (s,*), (t,*)] = h_map[u = pl-k, s, t] ⊗ I: correlation
+    # semantics put tap u = N-2M at kernel index pl-u (constant — XLA
+    # folds the whole construction)
+    h_rev = jnp.asarray(h_map[::-1], x.dtype)
+    eye = jnp.eye(rest, dtype=x.dtype)
+    K = jnp.einsum("ust,cd->usctd", h_rev, eye)
+    K = K.reshape(5, 2 * rest, 2 * rest)
+    if axis == 2:
+        # sx is the middle channel factor: lift K to act per sy block
+        eye2 = jnp.eye(2, dtype=x.dtype)
+        K = jnp.einsum("ab,uij->uaibj", eye2, K).reshape(5, c4, c4)
+    if axis == 1:
+        Kc = K[:, None]  # (5, 1, 4c, 4c)
+        strides, lhsd, pads = (1, 1), (2, 1), ((2, 3), (0, 0))
+    else:
+        Kc = K[None]  # (1, 5, 4c, 4c)
+        strides, lhsd, pads = (1, 1), (1, 2), ((0, 0), (2, 3))
+    y = lax.conv_general_dilated(
+        x, Kc, window_strides=strides, padding=pads, lhs_dilation=lhsd,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+    # border corrections (first/last 2 output grid rows along `axis`)
+    def take(t, sl):
+        idx = [slice(None)] * 4
+        idx[axis] = sl
+        return t[tuple(idx)]
+
+    def corr(xb, C):  # xb: 3 grid rows along axis, C: (2,2,3,2)
+        if axis == 1:
+            v = xb.reshape(b, 3, g2, 2, rest)
+            return jnp.einsum(
+                "bmwsc,ntms->bnwtc", v, jnp.asarray(C, x.dtype)
+            ).reshape(b, 2, g2, c4)
+        v = xb.reshape(b, g1, 3, 2, 2, c)
+        return jnp.einsum(
+            "bhmysc,ntms->bhnytc", v, jnp.asarray(C, x.dtype)
+        ).reshape(b, g1, 2, c4)
+
+    top = corr(take(x, slice(0, 3)), C_top)
+    bot = corr(take(x, slice(-3, None)), C_bot)
+    idx_top = [slice(None)] * 4
+    idx_top[axis] = slice(0, 2)
+    idx_bot = [slice(None)] * 4
+    idx_bot[axis] = slice(-2, None)
+    y = y.at[tuple(idx_top)].add(top)
+    y = y.at[tuple(idx_bot)].add(bot)
+    return y
+
+
+def s2d_upsample_2x_blur(x):
+    """`ops.resample.upsample_2x_blur` computed entirely in s2d layout:
+    (b, g, g, 4c) [s2d of (2g, 2g, c)] → (b, 2g, 2g, 4c) [s2d of
+    (4g, 4g, c)].  Exact including clamp/reflect border behavior; needs
+    g ≥ 4."""
+    assert x.shape[1] >= 4 and x.shape[2] >= 4
+    x = _upsample_axis(x, 1)
+    return _upsample_axis(x, 2)
+
+
+def s2d_global_pool(x_s2d, keepdims: bool = True):
+    """Global spatial mean per ORIGINAL channel of an s2d tensor:
+    (b, h, w, 4c) → (b, 1, 1, c) (or (b, c)).  Position-major ordering
+    means sub-positions are the MAJOR factor of the channel dim."""
+    b, h, w, c4 = x_s2d.shape
+    c = c4 // (F * F)
+    pooled = jnp.mean(
+        x_s2d.reshape(b, h * w, F * F, c), axis=(1, 2)
+    )
+    return pooled[:, None, None, :] if keepdims else pooled
+
+
+def s2d_gate(gates):
+    """Broadcast per-original-channel gates (..., c) to s2d channels
+    (..., 4c) in position-major order."""
+    tiles = (1,) * (gates.ndim - 1) + (F * F,)
+    return jnp.tile(gates, tiles)
