@@ -49,6 +49,12 @@ from gigagan_tpu.ops.pallas.flash_attention import (
 )
 
 
+# q-chunk VMEM budgets (bytes per (chunk, nk) fp32 intermediate, divided
+# by the head-group width); module-level so scripts/bench_so.py-style
+# sweeps can tune them on hardware.
+_FWD_BUDGET = 4 * 1024 * 1024
+
+
 def head_group(heads: int, d: int):
     """Heads per grid step so the lane extent (hg·d) is a 128 multiple;
     None when no legal grouping exists (caller falls back to the
@@ -113,128 +119,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
             lses.append((m + jnp.log(s))[:, 0])
         o_ref[0, r0 : r0 + chunk, :] = jnp.concatenate(outs, axis=-1)
         lse_ref[0, 0, :, r0 : r0 + chunk] = jnp.stack(lses, axis=0)
-
-
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
-                nullb_ref, g_ref, out_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, dnk_ref, dnv_ref,
-                *, hg, d, chunk, l2_dist, coeff, have_null):
-    q_all = q_ref[0]
-    k_all = k_ref[0]
-    v_all = v_ref[0]
-    g_all = g_ref[0]
-    o_all = out_ref[0]
-    bias = bias_ref[0, 0]
-    nq = q_all.shape[0]
-    nk = k_all.shape[0]
-
-    dv_acc = [jnp.zeros((nk, d), jnp.float32) for _ in range(hg)]
-    dst_q = [jnp.zeros((nk, d), jnp.float32) for _ in range(hg)]
-    col = [jnp.zeros((nk, 1), jnp.float32) for _ in range(hg)]
-    dn_stq = [jnp.zeros((1, d), jnp.float32) for _ in range(hg)]
-    dnv_acc = [jnp.zeros((1, d), jnp.float32) for _ in range(hg)]
-    ncol = [jnp.zeros((1, 1), jnp.float32) for _ in range(hg)]
-
-    for r0 in range(0, nq, chunk):
-        dqs = []
-        for h in range(hg):
-            lo = h * d
-            qc = q_all[r0 : r0 + chunk, lo : lo + d]
-            kh = k_all[:, lo : lo + d]
-            vh = v_all[:, lo : lo + d]
-            gh = g_all[r0 : r0 + chunk, lo : lo + d]
-            oh = o_all[r0 : r0 + chunk, lo : lo + d]
-            sim = jax.lax.dot_general(
-                qc, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias[h : h + 1, :]
-            lse = lse_ref[0, 0, h, r0 : r0 + chunk]
-            attn = jnp.exp(sim - lse[:, None])
-            dattn = jax.lax.dot_general(
-                gh, vh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            delta = jnp.sum(
-                gh.astype(jnp.float32) * oh.astype(jnp.float32),
-                axis=-1, keepdims=True,
-            )
-            dsim = attn * (dattn - delta)
-            dq = jax.lax.dot_general(
-                dsim.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if have_null:
-                nullk32 = nullk_ref[0, h : h + 1, :].astype(jnp.float32)
-                sim_n = jnp.sum(
-                    qc.astype(jnp.float32) * nullk32,
-                    axis=-1, keepdims=True,
-                ) + nullb_ref[0, h : h + 1, :]
-                attn_n = jnp.exp(sim_n - lse[:, None])
-                dattn_n = jnp.sum(
-                    gh.astype(jnp.float32)
-                    * nullv_ref[0, h : h + 1, :].astype(jnp.float32),
-                    axis=-1, keepdims=True,
-                )
-                dsim_n = attn_n * (dattn_n - delta)
-                dq = dq + dsim_n * nullk32
-                dnv_acc[h] = dnv_acc[h] + jnp.sum(
-                    attn_n * gh.astype(jnp.float32),
-                    axis=0, keepdims=True,
-                )
-                dn_stq[h] = dn_stq[h] + jnp.sum(
-                    dsim_n * qc.astype(jnp.float32),
-                    axis=0, keepdims=True,
-                )
-                ncol[h] = ncol[h] + jnp.sum(dsim_n)
-            dqs.append(dq.astype(dq_ref.dtype))
-            dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
-                attn.astype(gh.dtype), gh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dst_q[h] = dst_q[h] + jax.lax.dot_general(
-                dsim.astype(qc.dtype), qc, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if l2_dist:
-                col[h] = col[h] + jnp.sum(dsim, axis=0)[:, None]
-        dq_ref[0, r0 : r0 + chunk, :] = jnp.concatenate(dqs, axis=-1)
-
-    dks = []
-    for h in range(hg):
-        lo = h * d
-        if l2_dist:
-            # dk = coeff·(dsimᵀq) − k_pre⊙colsum(dsim)  (coeff = 2·scale)
-            dk_h = coeff * dst_q[h] - col[h] * k_all[:, lo : lo + d].astype(
-                jnp.float32
-            )
-        else:
-            dk_h = coeff * dst_q[h]
-        dks.append(dk_h.astype(dk_ref.dtype))
-    dk_ref[0] = jnp.concatenate(dks, axis=-1)
-    dv_ref[0] = jnp.concatenate(
-        [a.astype(dv_ref.dtype) for a in dv_acc], axis=-1
-    )
-    if have_null:
-        # assemble the (hg, d) row stacks with one-hot broadcasts —
-        # Mosaic cannot concat (1, d) reduction results along sublanes
-        # ("offset mismatch on non-concat dimension")
-        dnk_mat = jnp.zeros((hg, d), jnp.float32)
-        dnv_mat = jnp.zeros((hg, d), jnp.float32)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (hg, 1), 0)
-        for h in range(hg):
-            if l2_dist:
-                nullk32 = nullk_ref[0, h : h + 1, :].astype(jnp.float32)
-                row = coeff * dn_stq[h] - ncol[h] * nullk32
-            else:
-                row = coeff * dn_stq[h]
-            sel = row_ids == h
-            dnk_mat = dnk_mat + jnp.where(sel, row, 0.0)
-            dnv_mat = dnv_mat + jnp.where(sel, dnv_acc[h], 0.0)
-        dnk_ref[0, 0] = dnk_mat.astype(dnk_ref.dtype)
-        dnv_ref[0, 0] = dnv_mat.astype(dnv_ref.dtype)
-    else:
-        dnk_ref[0, 0] = jnp.zeros((hg, d), dnk_ref.dtype)
-        dnv_ref[0, 0] = jnp.zeros((hg, d), dnv_ref.dtype)
 
 
 def _prep_fused(q, k, v, null_kv, heads, hg, l2_dist, scale):
@@ -337,7 +221,7 @@ def _fwd_impl(q, k, v, null_kv, heads, l2_dist, scale, interpret):
     # q-chunk sizing: the head-group loop keeps ~hg (chunk, nk) fp32
     # intermediates live per step, so the budget scales inversely with
     # the group size (4MB/hg fits the hg≤2 gate; hg=8 OOMed at 16.2M)
-    chunk = _q_chunks(nq_pad, nk_pad, budget_bytes=4 * 1024 * 1024 // hg)
+    chunk = _q_chunks(nq_pad, nk_pad, budget_bytes=_FWD_BUDGET // hg)
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel, hg=hg, d=d, chunk=chunk,
@@ -361,76 +245,23 @@ def _fwd_impl(q, k, v, null_kv, heads, l2_dist, scale, interpret):
 
 
 def _fwd_rule(q, k, v, null_kv, heads, l2_dist, scale, interpret):
-    out, (out_pad, lse) = _fwd_impl(
+    out, (_, lse) = _fwd_impl(
         q, k, v, null_kv, heads, l2_dist, scale, interpret
     )
-    return out, (q, k, v, null_kv, out_pad, lse)
+    return out, (q, k, v, null_kv, lse)
 
 
 def _bwd_rule(heads, l2_dist, scale, interpret, residuals, g):
-    q, k, v, null_kv, out_pad, lse = residuals
-    interpret = (not pallas_supported()) if interpret is None else interpret
-    d_head = q.shape[-1] // heads
-    if scale is None:
-        scale = d_head ** -0.5
-    hg = head_group(heads, d_head) or (heads if interpret else None)
-    b, nq, hd = q.shape
-    nk = k.shape[1]
-    (qp, k_pre, vp, bias, nullk_pre, nullv, null_bias,
-     (_, _, _, d, hb), coeff) = _prep_fused(
-        q, k, v, null_kv, heads, hg, l2_dist, scale
-    )
-    nq_pad, nk_pad = qp.shape[1], k_pre.shape[1]
-    gp = g
-    if nq_pad != nq:
-        gp = jnp.pad(g, ((0, 0), (0, nq_pad - nq), (0, 0)))
-    gp = gp.astype(qp.dtype)
-    # the backward holds sim/attn/dattn/dsim fp32 tiles at once plus the
-    # per-head dk/dv accumulators — bound the chunk harder than forward
-    chunk = _q_chunks(nq_pad, nk_pad, budget_bytes=2 * 1024 * 1024 // hg)
+    # Grid-chunked single-pass backward shared with the second-order
+    # family: measured ~20% faster than the former in-kernel-loop layout
+    # at the D's stage-3 shape (Mosaic pipelines real grid steps better
+    # than an unrolled chunk loop), and it needs no saved `out` residual
+    # (delta = rowsum(attn * dattn) equals rowsum(g * out) exactly).
+    q, k, v, null_kv, lse = residuals
+    from gigagan_tpu.ops.pallas.flash_attention_so import _bwd_sc_impl
 
-    w = hg * d
-    qtile = pl.BlockSpec((1, nq_pad, w), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM)
-    ktile = pl.BlockSpec((1, nk_pad, w), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, 1, hg, nq_pad), lambda i, j: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-    nullout = pl.BlockSpec((1, 1, hg, d), lambda i, j: (i, j, 0, 0),
-                           memory_space=pltpu.VMEM)
-    dq, dk, dv, dnk, dnv = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel, hg=hg, d=d, chunk=chunk, l2_dist=l2_dist,
-            coeff=coeff, have_null=null_kv is not None,
-        ),
-        grid=(b, hb),
-        in_specs=_specs(nq_pad, nk_pad, hg, d)
-        + [qtile, qtile, lse_spec],
-        out_specs=(qtile, ktile, ktile, nullout, nullout),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, nq_pad, hd), qp.dtype),
-            jax.ShapeDtypeStruct((b, nk_pad, hd), qp.dtype),
-            jax.ShapeDtypeStruct((b, nk_pad, hd), qp.dtype),
-            jax.ShapeDtypeStruct((b, hb, hg, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, hb, hg, d), jnp.float32),
-        ),
-        interpret=interpret,
-    )(qp, k_pre, vp, bias, nullk_pre, nullv, null_bias, gp, out_pad, lse)
-
-    dq = dq[:, :nq].astype(q.dtype)
-    dk = dk[:, :nk].astype(k.dtype)
-    dv = dv[:, :nk].astype(v.dtype)
-    if null_kv is None:
-        dnull = None
-    else:
-        dnull = jnp.stack(
-            (
-                jnp.sum(dnk, axis=0).reshape(heads, d),
-                jnp.sum(dnv, axis=0).reshape(heads, d),
-            ),
-            axis=0,
-        ).astype(null_kv.dtype)
-    return dq, dk, dv, dnull
+    return _bwd_sc_impl(q, k, v, null_kv, g, lse, heads, l2_dist, scale,
+                        interpret)
 
 
 flash_attend_fused.defvjp(_fwd_rule, _bwd_rule)

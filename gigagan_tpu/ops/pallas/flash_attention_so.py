@@ -13,15 +13,19 @@ This module closes attention under REVERSE-mode differentiation to second
 order, in the fused-heads `(b, n, H·d)` layout of
 ops/pallas/flash_attention_fused.py:
 
-- `flash_attend_so` is a `jax.custom_vjp` whose residuals are the PRIMAL
-  inputs only; its backward calls `flash_bwd_so`.
-- `flash_bwd_so(q, k, v, null_kv, g) -> (dq, dk, dv, dnull)` is itself a
-  `jax.custom_vjp`: the primal is a SELF-CONTAINED single-pass backward
-  kernel (recomputes the row softmax stats in-kernel instead of using saved
-  lse/out, so its outputs are a pure function of raw inputs), and its
-  backward is ONE adjoint kernel emitting cotangents for all five operands
-  — the full second derivative of softmax attention (12 MXU matmuls per
-  q-chunk per head, zero (n, n) HBM traffic).
+- `flash_attend_so` wraps `_so_fwd_op`, a `jax.custom_vjp` returning
+  (out, lse) whose residuals are the primal inputs + the saved lse; its
+  backward calls `flash_bwd_so`.
+- `flash_bwd_so(q, k, v, null_kv, g, lse) -> (dq, dk, dv, dnull)` is
+  itself a `jax.custom_vjp`: the primal is a single-pass backward kernel
+  (row softmax reconstructed from the SAVED lse — attn = exp(sim − lse) —
+  one exp pass instead of a max/sum/divide recompute), and its backward is
+  ONE adjoint kernel emitting cotangents for all operands — the full
+  second derivative of softmax attention (12 MXU matmuls per q-chunk per
+  head, zero (n, n) HBM traffic).  The lse cotangent is structurally zero:
+  the hand-written adjoint formulas below are the derivative of the REAL
+  softmax (normalizer included), so the saved value carries no independent
+  sensitivity — the standard flash-attention residual argument.
 
 Reverse-over-reverse closure works because `jax.vjp` inlines the bwd rule's
 operations into the cotangent jaxpr: the outer `jax.grad` then needs only
@@ -113,6 +117,15 @@ def flash_so_auto(q, k, heads: int) -> bool:
     return flash_auto(q[..., :d], k[..., :d])
 
 
+# q-chunk VMEM budgets (bytes per (chunk, nk) fp32 intermediate, divided by
+# the head-group width).  Module-level so scripts/bench_so.py can sweep
+# them.  Swept on v5e at the D's stage-3 shape (b=48, n=1024, H=8, d=64):
+# bwd_sc 6.9 → 4.5ms at 4M (chunk 512; 8M = whole-nq chunks OOMs scoped
+# VMEM at 22.3M/16M), bwd2 20.9 → 12.1ms at 1M (chunk 128; 2M OOMs — the
+# adjoint holds ~14 live (chunk, nk) fp32 temporaries per unrolled head).
+_BWD_BUDGET = 4 * 1024 * 1024
+_BWD2_BUDGET = 1024 * 1024
+
 _NT = (((1,), (1,)), ((), ()))  # x yᵀ  (contract last dims)
 _NN = (((1,), (0,)), ((), ()))  # x y
 _TN = (((0,), (0,)), ((), ()))  # xᵀ y  (contract first dims)
@@ -127,19 +140,13 @@ def _mm(a, b, dims, dtype=None):
     )
 
 
-def _softmax_stats(sim, sim_n, have_null):
-    m = jnp.max(sim, axis=-1, keepdims=True)
-    if have_null:
-        m = jnp.maximum(m, sim_n)
-    e = jnp.exp(sim - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    en = None
-    if have_null:
-        en = jnp.exp(sim_n - m)
-        s = s + en
-    inv = 1.0 / s
-    attn = e * inv
-    attn_n = en * inv if have_null else None
+def _softmax_from_lse(sim, sim_n, lse_col, have_null):
+    """Softmax rows from the SAVED forward log-sum-exp (the standard flash
+    backward trick): attn = exp(sim − lse).  Skips the max/sum reductions
+    and the divide of a full recompute — ~4 VPU passes per head per chunk
+    in kernels that are VPU-bound."""
+    attn = jnp.exp(sim - lse_col)
+    attn_n = jnp.exp(sim_n - lse_col) if have_null else None
     return attn, attn_n
 
 
@@ -168,19 +175,22 @@ def _grid_specs(chunk, nk, hg, d):
                            memory_space=pltpu.VMEM)
     nullout = pl.BlockSpec((1, 1, hg, d), lambda i, j, qi: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)
-    return qchunk, kfull, biasrow, nullrow, nullone, nullout
+    lsechunk = pl.BlockSpec((1, 1, hg, chunk), lambda i, j, qi: (i, j, 0, qi),
+                            memory_space=pltpu.VMEM)
+    return qchunk, kfull, biasrow, nullrow, nullone, nullout, lsechunk
 
 
 def _bwd_sc_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
-                   nullb_ref, g_ref,
+                   nullb_ref, g_ref, lse_ref,
                    dq_ref, dk_ref, dv_ref, dnk_ref, dnv_ref,
                    stq_ref, sv_ref, scol_ref, snq_ref, snv_ref, snc_ref,
                    *, hg, d, nchunks, l2_dist, coeff, have_null):
-    """Self-contained single-pass backward: identical math to the fused
-    kernel's bwd, but the row softmax stats are recomputed in-kernel (two
-    extra VPU reductions per chunk) and delta = rowsum(attn⊙dattn) — so
-    (dq, dk, dv, dnull) is a pure function of (q, k, v, null, g) and the
-    op is cleanly differentiable as `flash_bwd_so`."""
+    """Single-pass backward: identical math to the fused kernel's bwd; the
+    row softmax comes from the SAVED forward lse (attn = exp(sim − lse))
+    and delta = rowsum(attn⊙dattn) — so (dq, dk, dv, dnull) is a pure
+    function of (q, k, v, null, g, lse) and the op is cleanly
+    differentiable as `flash_bwd_so` (lse is an exact forward intermediate;
+    its cotangent is structurally zero — see `_so_op_bwd`)."""
     qi = pl.program_id(2)
 
     @pl.when(qi == 0)
@@ -205,13 +215,14 @@ def _bwd_sc_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
         kh = k_all[:, lo : lo + d]
         vh = v_all[:, lo : lo + d]
         gh = g_c[:, lo : lo + d]
+        lse_col = lse_ref[0, 0, h, :][:, None]
         sim = _mm(qc, kh, _NT) + bias[h : h + 1, :]
         if have_null:
             nullk32 = nullk_ref[0, h : h + 1, :].astype(jnp.float32)
             sim_n = _rows32(qc, nullk32) + nullb_ref[0, h : h + 1, :]
         else:
             nullk32 = sim_n = None
-        attn, attn_n = _softmax_stats(sim, sim_n, have_null)
+        attn, attn_n = _softmax_from_lse(sim, sim_n, lse_col, have_null)
         dattn = _mm(gh, vh, _NT)
         delta = jnp.sum(attn * dattn, axis=-1, keepdims=True)
         if have_null:
@@ -219,7 +230,8 @@ def _bwd_sc_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
             dattn_n = _rows32(gh, nullv32)
             delta = delta + attn_n * dattn_n
         dsim = attn * (dattn - delta)
-        dq = _mm(dsim.astype(kh.dtype), kh, _NN)
+        dsim_m = dsim.astype(kh.dtype)
+        dq = _mm(dsim_m, kh, _NN)
         if have_null:
             dsim_n = attn_n * (dattn_n - delta)
             dq = dq + dsim_n * nullk32
@@ -232,7 +244,7 @@ def _bwd_sc_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
             snc_ref[h] = snc_ref[h] + jnp.sum(dsim_n)
         dqs.append(dq.astype(dq_ref.dtype))
         sv_ref[h] = sv_ref[h] + _mm(attn.astype(gh.dtype), gh, _TN)
-        stq_ref[h] = stq_ref[h] + _mm(dsim.astype(qc.dtype), qc, _TN)
+        stq_ref[h] = stq_ref[h] + _mm(dsim_m, qc, _TN)
         if l2_dist:
             scol_ref[h] = scol_ref[h] + jnp.sum(dsim, axis=0)[:, None]
     dq_ref[0] = jnp.concatenate(dqs, axis=-1)
@@ -276,7 +288,7 @@ def _bwd_sc_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
 
 def _bwd2_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
                  nullb_ref, g_ref, ca_ref, cbp_ref, cc_ref, negw_ref,
-                 cbnp_ref, ccn_ref, negwn_ref,
+                 cbnp_ref, ccn_ref, negwn_ref, lse_ref,
                  cq_ref, ck_ref, cv_ref, cg_ref, cnk_ref, cnv_ref,
                  sck_ref, scv_ref, su_ref, scs_ref,
                  scnk_ref, scnv_ref, sun_ref, scsn_ref,
@@ -327,6 +339,7 @@ def _bwd2_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
         cah = ca_c[:, lo : lo + d]
         cbh = cbp_all[:, lo : lo + d]
         cch = cc_all[:, lo : lo + d]
+        lse_col = lse_ref[0, 0, h, :][:, None]
 
         # ---- recompute forward + first-order pieces ----
         sim = _mm(qc, kh, _NT) + bias[h : h + 1, :]
@@ -338,7 +351,7 @@ def _bwd2_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
             sim_n = _rows32(qc, nullk32) + nullb_ref[0, h : h + 1, :]
         else:
             nullk32 = nullv32 = cbnp32 = ccn32 = sim_n = None
-        attn, attn_n = _softmax_stats(sim, sim_n, have_null)
+        attn, attn_n = _softmax_from_lse(sim, sim_n, lse_col, have_null)
         dattn = _mm(gh, vh, _NT)
         delta = jnp.sum(attn * dattn, axis=-1, keepdims=True)
         if have_null:
@@ -374,21 +387,21 @@ def _bwd2_kernel(q_ref, k_ref, v_ref, bias_ref, nullk_ref, nullv_ref,
         if have_null:
             c_sn = attn_n * (c_pn - rho)
 
-        cq_c = _mm(dsim.astype(mmdt), cbh, _NN) + _mm(
-            c_s.astype(mmdt), kh, _NN
-        )
-        cg_c = _mm(c_dat.astype(mmdt), vh, _NN) + _mm(
-            attn.astype(mmdt), cch, _NN
-        )
+        # one cast pass per (chunk, nk) temporary — each feeds 2 matmuls
+        dsim_m = dsim.astype(mmdt)
+        c_s_m = c_s.astype(mmdt)
+        c_dat_m = c_dat.astype(mmdt)
+        cq_c = _mm(dsim_m, cbh, _NN) + _mm(c_s_m, kh, _NN)
+        cg_c = _mm(c_dat_m, vh, _NN) + _mm(attn.astype(mmdt), cch, _NN)
         if have_null:
             cq_c = cq_c + dsim_n * cbnp32 + c_sn * nullk32
             cg_c = cg_c + c_datn * nullv32 + attn_n * ccn32
         cqs.append(cq_c.astype(cq_ref.dtype))
         cgs.append(cg_c.astype(cg_ref.dtype))
 
-        sck_ref[h] = sck_ref[h] + _mm(dsim.astype(mmdt), cah, _TN) \
-            + _mm(c_s.astype(mmdt), qc, _TN)
-        scv_ref[h] = scv_ref[h] + _mm(c_dat.astype(mmdt), gh, _TN)
+        sck_ref[h] = sck_ref[h] + _mm(dsim_m, cah, _TN) \
+            + _mm(c_s_m, qc, _TN)
+        scv_ref[h] = scv_ref[h] + _mm(c_dat_m, gh, _TN)
         if l2_dist:
             su_ref[h] = su_ref[h] + jnp.sum(dsim, axis=0)[:, None]
             scs_ref[h] = scs_ref[h] + jnp.sum(c_s, axis=0)[:, None]
@@ -459,16 +472,18 @@ def _resolve(q, heads, scale, interpret):
     return d_head, scale, hg, interpret
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def flash_bwd_so(q, k, v, null_kv, g, heads, l2_dist=False, scale=None,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def flash_bwd_so(q, k, v, null_kv, g, lse, heads, l2_dist=False, scale=None,
                  interpret=None):
     """Differentiable fused-heads attention backward:
-    (q, k, v, null_kv, g) → (dq, dk, dv, dnull)."""
-    return _bwd_sc_impl(q, k, v, null_kv, g, heads, l2_dist, scale,
+    (q, k, v, null_kv, g, lse) → (dq, dk, dv, dnull).  `lse` is the
+    forward kernel's saved (b, hb, hg, nq_pad) log-sum-exp (get it from
+    `_so_fwd_op`); its cotangent is structurally zero (see `_so_op_bwd`)."""
+    return _bwd_sc_impl(q, k, v, null_kv, g, lse, heads, l2_dist, scale,
                         interpret)
 
 
-def _bwd_sc_impl(q, k, v, null_kv, g, heads, l2_dist, scale, interpret):
+def _bwd_sc_impl(q, k, v, null_kv, g, lse, heads, l2_dist, scale, interpret):
     d_head, scale, hg, interpret = _resolve(q, heads, scale, interpret)
     b, nq, hd = q.shape
     nk = k.shape[1]
@@ -477,15 +492,16 @@ def _bwd_sc_impl(q, k, v, null_kv, g, heads, l2_dist, scale, interpret):
         q, k, v, null_kv, heads, hg, l2_dist, scale
     )
     nq_pad, nk_pad = qp.shape[1], k_pre.shape[1]
+    assert lse.shape == (b, hb, hg, nq_pad), (lse.shape, (b, hb, hg, nq_pad))
     gp = g
     if nq_pad != nq:
         gp = jnp.pad(g, ((0, 0), (0, nq_pad - nq), (0, 0)))
     gp = gp.astype(qp.dtype)
-    chunk = _q_chunks(nq_pad, nk_pad, budget_bytes=1024 * 1024 // hg)
+    chunk = _q_chunks(nq_pad, nk_pad, budget_bytes=_BWD_BUDGET // hg)
     nchunks = nq_pad // chunk
 
-    qchunk, kfull, biasrow, nullrow, nullone, nullout = _grid_specs(
-        chunk, nk_pad, hg, d
+    qchunk, kfull, biasrow, nullrow, nullone, nullout, lsechunk = (
+        _grid_specs(chunk, nk_pad, hg, d)
     )
     dq, dk, dv, dnk, dnv = pl.pallas_call(
         functools.partial(
@@ -494,7 +510,7 @@ def _bwd_sc_impl(q, k, v, null_kv, g, heads, l2_dist, scale, interpret):
         ),
         grid=(b, hb, nchunks),
         in_specs=[qchunk, kfull, kfull, biasrow, nullrow, nullrow,
-                  nullone, qchunk],
+                  nullone, qchunk, lsechunk],
         out_specs=(qchunk, kfull, kfull, nullout, nullout),
         out_shape=(
             jax.ShapeDtypeStruct((b, nq_pad, hd), qp.dtype),
@@ -512,7 +528,7 @@ def _bwd_sc_impl(q, k, v, null_kv, g, heads, l2_dist, scale, interpret):
             pltpu.VMEM((hg, 1, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, k_pre, vp, bias, nullk_pre, nullv, null_bias, gp)
+    )(qp, k_pre, vp, bias, nullk_pre, nullv, null_bias, gp, lse)
 
     dq = dq[:, :nq].astype(q.dtype)
     dk = dk[:, :nk].astype(k.dtype)
@@ -530,18 +546,18 @@ def _bwd_sc_impl(q, k, v, null_kv, g, heads, l2_dist, scale, interpret):
     return dq, dk, dv, dnull
 
 
-def _bwd_so_fwd(q, k, v, null_kv, g, heads, l2_dist, scale, interpret):
+def _bwd_so_fwd(q, k, v, null_kv, g, lse, heads, l2_dist, scale, interpret):
     # NB: calls the WRAPPED op, not _bwd_sc_impl — the op must stay opaque
     # (custom-vjp) in the fwd rule's trace so outer differentiation levels
     # keep hitting this rule instead of linearizing the raw pallas_call
     # (same recursion trick as pconv2d/pcorr2d in ops/pallas/adaptive_conv)
-    out = flash_bwd_so(q, k, v, null_kv, g, heads, l2_dist, scale,
+    out = flash_bwd_so(q, k, v, null_kv, g, lse, heads, l2_dist, scale,
                        interpret)
-    return out, (q, k, v, null_kv, g)
+    return out, (q, k, v, null_kv, g, lse)
 
 
 def _bwd_so_bwd(heads, l2_dist, scale, interpret, residuals, cots):
-    q, k, v, null_kv, g = residuals
+    q, k, v, null_kv, g, lse = residuals
     cdq, cdk, cdv, cdnull = cots
     d_head, scale, hg, interpret = _resolve(q, heads, scale, interpret)
     b, nq, hd = q.shape
@@ -601,13 +617,15 @@ def _bwd_so_bwd(heads, l2_dist, scale, interpret, residuals, cots):
     ccn = ccn.reshape(hb, hg, d_head)
     negwn = negwn.reshape(hb, hg, 1)
 
-    # the adjoint holds ~10 (chunk, nk) fp32 temporaries per unrolled
-    # head; with one chunk per grid step, 512K/hg keeps the D's batch-64
-    # 1024-token attention well under the 16M scoped-VMEM limit
-    chunk = _q_chunks(nq_pad, nk_pad, budget_bytes=512 * 1024 // hg)
+    # the adjoint holds ~14 (chunk, nk) fp32 temporaries per unrolled
+    # head; with one chunk per grid step, _BWD2_BUDGET/hg keeps the D's
+    # batch-expanded 1024-token attention under the 16M scoped-VMEM limit
+    # (see the budget sweep note at the constants)
+    assert lse.shape == (b, hb, hg, nq_pad), (lse.shape, (b, hb, hg, nq_pad))
+    chunk = _q_chunks(nq_pad, nk_pad, budget_bytes=_BWD2_BUDGET // hg)
     nchunks = nq_pad // chunk
-    qchunk, kfull, biasrow, nullrow, nullone, nullout = _grid_specs(
-        chunk, nk_pad, hg, d
+    qchunk, kfull, biasrow, nullrow, nullone, nullout, lsechunk = (
+        _grid_specs(chunk, nk_pad, hg, d)
     )
     cq, ck, cv, cg, cnk, cnv = pl.pallas_call(
         functools.partial(
@@ -617,7 +635,7 @@ def _bwd_so_bwd(heads, l2_dist, scale, interpret, residuals, cots):
         grid=(b, hb, nchunks),
         in_specs=[qchunk, kfull, kfull, biasrow, nullrow, nullrow,
                   nullone, qchunk, qchunk, kfull, kfull, biasrow,
-                  nullrow, nullrow, nullone],
+                  nullrow, nullrow, nullone, lsechunk],
         out_specs=(qchunk, kfull, kfull, qchunk, nullout, nullout),
         out_shape=(
             jax.ShapeDtypeStruct((b, nq_pad, hd), qp.dtype),
@@ -639,7 +657,7 @@ def _bwd_so_bwd(heads, l2_dist, scale, interpret, residuals, cots):
         ],
         interpret=interpret,
     )(qp, k_pre, vp, bias, nullk_pre, nullv, null_bias,
-      gp, cap, cbp, ccp, negw, cbnp, ccn, negwn)
+      gp, cap, cbp, ccp, negw, cbnp, ccn, negwn, lse)
 
     cq = cq[:, :nq].astype(q.dtype)
     ck = ck[:, :nk].astype(k.dtype)
@@ -655,7 +673,10 @@ def _bwd_so_bwd(heads, l2_dist, scale, interpret, residuals, cots):
             ),
             axis=0,
         ).astype(null_kv.dtype)
-    return cq, ck, cv, cnull, cg
+    # zero cotangent for lse: the adjoint formulas above are the FULL
+    # softmax derivative wrt (q, k), so the saved-lse input carries no
+    # independent sensitivity (standard flash-backward residual)
+    return cq, ck, cv, cnull, cg, jnp.zeros_like(lse)
 
 
 flash_bwd_so.defvjp(_bwd_so_fwd, _bwd_so_bwd)
@@ -667,28 +688,42 @@ flash_bwd_so.defvjp(_bwd_so_fwd, _bwd_so_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _so_fwd_op(q, k, v, null_kv, heads, l2_dist=False, scale=None,
+               interpret=None):
+    """Fused-heads attention forward returning (out, lse); closed under
+    second-order reverse AD.  lse (b, hb, hg, nq_pad fp32) is the saved
+    softmax log-sum-exp consumed by `flash_bwd_so` — its backward treats
+    lse's cotangent as structurally zero (see `_so_op_bwd`), so lse MUST
+    NOT feed any other differentiated computation."""
+    out, (_, lse) = _fwd_impl(q, k, v, null_kv, heads, l2_dist, scale,
+                              interpret)
+    return out, lse
+
+
+def _so_op_fwd(q, k, v, null_kv, heads, l2_dist, scale, interpret):
+    # recursive call keeps the op opaque under nested differentiation
+    # (see _bwd_so_fwd); residuals are the primal inputs + the saved lse
+    out, lse = _so_fwd_op(q, k, v, null_kv, heads, l2_dist, scale,
+                          interpret)
+    return (out, lse), (q, k, v, null_kv, lse)
+
+
+def _so_op_bwd(heads, l2_dist, scale, interpret, residuals, cots):
+    q, k, v, null_kv, lse = residuals
+    g, _g_lse = cots
+    # _g_lse is structurally zero: lse's only legal consumer is
+    # flash_bwd_so, whose vjp returns a zero lse-cotangent (the hand-
+    # written adjoint already encodes the full softmax derivative)
+    return flash_bwd_so(q, k, v, null_kv, g, lse, heads, l2_dist, scale,
+                        interpret)
+
+
+_so_fwd_op.defvjp(_so_op_fwd, _so_op_bwd)
+
+
 def flash_attend_so(q, k, v, null_kv, heads, l2_dist=False, scale=None,
                     interpret=None):
     """Fused-heads attention, closed under second-order reverse AD:
     q (b, nq, H·d), k/v (b, nk, H·d), null_kv (2, H, d) or None."""
-    out, _ = _fwd_impl(q, k, v, null_kv, heads, l2_dist, scale, interpret)
+    out, _ = _so_fwd_op(q, k, v, null_kv, heads, l2_dist, scale, interpret)
     return out
-
-
-def _so_fwd(q, k, v, null_kv, heads, l2_dist, scale, interpret):
-    # recursive call keeps the op opaque under nested differentiation
-    # (see _bwd_so_fwd); residuals are the PRIMAL inputs only — the
-    # backward is a pure, differentiable function of them (no saved
-    # lse/out on the tape)
-    out = flash_attend_so(q, k, v, null_kv, heads, l2_dist, scale,
-                          interpret)
-    return out, (q, k, v, null_kv)
-
-
-def _so_bwd(heads, l2_dist, scale, interpret, residuals, g):
-    q, k, v, null_kv = residuals
-    return flash_bwd_so(q, k, v, null_kv, g, heads, l2_dist, scale,
-                        interpret)
-
-
-flash_attend_so.defvjp(_so_fwd, _so_bwd)

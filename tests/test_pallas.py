@@ -556,11 +556,15 @@ class TestSecondOrderFusedAttention:
         (True, True), (False, True), (True, False), (False, False),
     ])
     def test_backward_primal_matches_xla_vjp(self, l2, with_null):
-        from gigagan_tpu.ops.pallas.flash_attention_so import flash_bwd_so
+        from gigagan_tpu.ops.pallas.flash_attention_so import (
+            _so_fwd_op,
+            flash_bwd_so,
+        )
 
         q, k, v, null_kv, g = self._qkv()
         null = null_kv if with_null else None
-        got = flash_bwd_so(q, k, v, null, g, 3, l2, None, True)
+        lse = _so_fwd_op(q, k, v, null, 3, l2, None, True)[1]
+        got = flash_bwd_so(q, k, v, null, g, lse, 3, l2, None, True)
         _, vjp = jax.vjp(self._ref(3, l2, with_null), q, k, v, null_kv)
         want = vjp(g)
         names = ("dq", "dk", "dv", "dnull")
@@ -580,7 +584,10 @@ class TestSecondOrderFusedAttention:
     def test_adjoint_of_backward_matches_xla(self, l2, with_null):
         """Differentiate a weighted sum of the backward's outputs w.r.t.
         every input — exercises the full `_bwd2_kernel` adjoint."""
-        from gigagan_tpu.ops.pallas.flash_attention_so import flash_bwd_so
+        from gigagan_tpu.ops.pallas.flash_attention_so import (
+            _so_fwd_op,
+            flash_bwd_so,
+        )
 
         q, k, v, null_kv, g = self._qkv(seed=1)
         null = null_kv if with_null else None
@@ -591,9 +598,13 @@ class TestSecondOrderFusedAttention:
         wn = jax.random.normal(ks[3], null_kv.shape)
 
         def loss_so(q, k, v, nkv, g):
+            # lse computed in-trace, as production does (its cotangent is
+            # structurally zero — the adjoint encodes the full softmax
+            # derivative)
+            null = nkv if with_null else None
+            lse = _so_fwd_op(q, k, v, null, 3, l2, None, True)[1]
             dq, dk, dv, dn = flash_bwd_so(
-                q, k, v, (nkv if with_null else None), g, 3, l2, None,
-                True,
+                q, k, v, null, g, lse, 3, l2, None, True,
             )
             out = (jnp.sum(wq * dq) + jnp.sum(wk * dk)
                    + jnp.sum(wv * dv))
