@@ -1,0 +1,105 @@
+"""CLI surface tests: train → config.json + checkpoint → generate.
+
+The reference has no CLI ("port over CLI" is an unfinished TODO,
+reference README.md:227); gigagan_tpu/cli.py provides one.  These tests
+drive it end-to-end on the tiny-model mock-data path.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from gigagan_tpu.cli import main
+
+TINY = {
+    "generator": {
+        "dim_capacity": 4,
+        "style_network": {"dim": 32, "depth": 2},
+        "image_size": 32,
+        "dim_max": 64,
+        "unconditional": True,
+    },
+    "discriminator": {
+        "dim_capacity": 4,
+        "dim_max": 64,
+        "image_size": 32,
+        "attn_resolutions": (),
+        "multiscale_input_resolutions": (16,),
+        "aux_recon_resolutions": (8,),
+        "unconditional": True,
+    },
+    "amp": False,
+    "apply_gradient_penalty_every": 0,
+    "log_steps_every": 10 ** 9,
+    "save_and_sample_every": 2,
+    "early_save_thres_steps": 0,
+    "num_samples": 4,
+    "seed": 0,
+}
+
+
+@pytest.fixture(scope="module")
+def trained_folder(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    cfg = dict(TINY)
+    cfg_path = root / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg, default=list))
+    models = root / "models"
+    results = root / "results"
+    rc = main([
+        "train",
+        "--config", str(cfg_path),
+        "--mock-data",
+        "--image-size", "32",
+        "--batch-size", "8",
+        "--steps", "2",
+        "--models", str(models),
+        "--results", str(results),
+    ])
+    assert rc == 0
+    return models, results
+
+
+def test_train_writes_config_and_checkpoint(trained_folder):
+    models, results = trained_folder
+    cfg = json.loads((models / "config.json").read_text())
+    assert cfg["generator"]["image_size"] == 32
+    assert cfg["model_folder"] == str(models)
+    assert list(models.glob("model-*.ckpt")), "no checkpoint written"
+    assert list(results.glob("sample-*.png")), "no sample grid written"
+
+
+def test_generate_from_model_folder(trained_folder, tmp_path):
+    models, _ = trained_folder
+    out = tmp_path / "grid.png"
+    rc = main([
+        "generate", "--models", str(models),
+        "--num", "4", "--seed", "0", "--out", str(out),
+    ])
+    assert rc == 0
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.ndim == 3 and img.shape[-1] in (3, 4)
+    assert img.std() > 0  # not a constant image
+
+
+def test_resume_auto(trained_folder):
+    models, results = trained_folder
+    rc = main([
+        "train",
+        "--config", str(models / "config.json"),
+        "--mock-data",
+        "--batch-size", "8",
+        "--steps", "1",
+        "--models", str(models),
+        "--results", str(results),
+        "--resume",
+    ])
+    assert rc == 0
+
+
+def test_train_requires_data():
+    with pytest.raises(AssertionError, match="--data"):
+        main(["train", "--steps", "1", "--image-size", "32"])
