@@ -168,6 +168,9 @@ def _load_model_folder(models: str):
 
 
 def _cmd_train(args):
+    assert args.mock_data or args.data, (
+        "--data FOLDER is required (or pass --mock-data)"
+    )
     cfg = _resolve_train_config(args)
     gan = _build_gan(cfg)
 
