@@ -1,0 +1,127 @@
+"""Inference latency/throughput receipts vs the GigaGAN paper's A100 numbers.
+
+The paper (arXiv 2303.05511, cited in the reference README.md:233-241)
+reports 0.13 s for 512px synthesis and 3.66 s for 4K (16 MP) upsampling on
+A100.  This script measures the equivalents on the local chip with
+README-quickstart-shaped models (random weights — latency does not depend
+on the weight values):
+
+  1. 256px synthesis throughput (batch 8) and latency (batch 1)
+  2. 512px synthesis latency (batch 1)
+  3. 64->256 upsampler latency (batch 1)
+  4. 1K->4K upsampler latency (batch 1; skipped gracefully on OOM)
+
+Measurement: many chained jitted calls with ONE final host fetch (the only
+trustworthy wall protocol through the axon relay — see DESIGN.md), warmup
+excluded.  Prints one JSON line.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gigagan_tpu.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
+
+ITERS = 8
+
+
+def _time(fn, *args):
+    """Median-free chained-wall protocol: warmup+compile, then ITERS chained
+    calls and one fetch; returns seconds per call."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    return (time.perf_counter() - t0) / ITERS
+
+
+def base_generator(image_size):
+    from gigagan_tpu.models import Generator
+
+    return Generator(
+        dim_capacity=8,
+        image_size=image_size,
+        dim_max=512,
+        num_skip_layers_excite=4,
+        unconditional=True,
+        style_network=dict(dim=64, depth=4),
+        dtype=jnp.bfloat16,
+    )
+
+
+def synth_latency(image_size, batch):
+    g = base_generator(image_size)
+    k = jax.random.PRNGKey(0)
+    params = g.init(
+        {"params": k, "noise": k, "latent": k}, batch_size=batch
+    )["params"]
+
+    @jax.jit
+    def run(params, key):
+        kn, kl = jax.random.split(key)
+        return g.apply({"params": params}, batch_size=batch,
+                       rngs={"noise": kn, "latent": kl})
+
+    return _time(run, params, k)
+
+
+def upsampler_latency(in_size, out_size, dim=32):
+    from gigagan_tpu.models.unet_upsampler import UnetUpsampler
+
+    g = UnetUpsampler(
+        dim=dim,
+        image_size=out_size,
+        input_image_size=in_size,
+        unconditional=True,
+        style_network=dict(dim=64, depth=4),
+        dtype=jnp.bfloat16,
+    )
+    k = jax.random.PRNGKey(0)
+    low = jax.random.uniform(k, (1, in_size, in_size, 3), jnp.bfloat16)
+    params = g.init(
+        {"params": k, "noise": k, "latent": k}, lowres_image=low
+    )["params"]
+
+    @jax.jit
+    def run(params, low, key):
+        kn, kl = jax.random.split(key)
+        return g.apply({"params": params}, lowres_image=low,
+                       rngs={"noise": kn, "latent": kl})
+
+    return _time(run, params, low, k)
+
+
+def main():
+    result = {"unit": "seconds/batch unless noted"}
+    t = synth_latency(256, 8)
+    result["synth_256px_batch8_images_per_sec"] = round(8 / t, 2)
+    result["synth_256px_batch1_latency_s"] = round(synth_latency(256, 1), 4)
+    result["synth_512px_batch1_latency_s"] = round(synth_latency(512, 1), 4)
+    result["paper_a100_512px_latency_s"] = 0.13
+    result["upsample_64_to_256_latency_s"] = round(
+        upsampler_latency(64, 256), 4
+    )
+    try:
+        result["upsample_1k_to_4k_latency_s"] = round(
+            upsampler_latency(1024, 4096), 4
+        )
+        result["paper_a100_4k_latency_s"] = 3.66
+    except Exception as e:  # noqa: BLE001 — OOM at 4K is environment-bound
+        result["upsample_1k_to_4k_latency_s"] = f"skipped: {type(e).__name__}"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
