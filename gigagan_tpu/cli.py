@@ -233,7 +233,6 @@ def _cmd_upsample(args):
     from PIL import Image
 
     from gigagan_tpu import ops
-    from gigagan_tpu.train.trainer import save_image_grid
 
     img = Image.open(args.input).convert("RGB")
     lowres = np.asarray(img, np.float32)[None] / 255.0
@@ -243,7 +242,8 @@ def _cmd_upsample(args):
             ops.resize_image_to(lowres, size, "bilinear"), np.float32
         )
     out = gan.generate(lowres, seed=args.seed, use_ema=not args.no_ema)
-    save_image_grid(np.clip(out, 0.0, 1.0), args.out, nrow=1)
+    arr = (np.clip(out[0], 0.0, 1.0) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(args.out)  # bare image, no grid padding
     print(
         f"[gigagan_tpu] upsampled {args.input} "
         f"({size} -> {out.shape[1]}) via {ckpt} -> {args.out}"

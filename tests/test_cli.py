@@ -103,3 +103,74 @@ def test_resume_auto(trained_folder):
 def test_train_requires_data():
     with pytest.raises(AssertionError, match="--data"):
         main(["train", "--steps", "1", "--image-size", "32"])
+
+
+TINY_UP = {
+    "train_upsampler": True,
+    "generator": {
+        "style_network": {"dim": 16, "depth": 1},
+        "dim": 8,
+        "image_size": 16,
+        "input_image_size": 8,
+        "dim_mults": (1, 2),
+        "full_attn": (False, True),
+        "cross_attn": (False, False),
+        "attn_depths": (1, 1),
+        "temporal_attn_depths": (1, 1),
+        "num_conv_kernels": 2,
+        "unconditional": True,
+    },
+    "discriminator": {
+        "dim_capacity": 4,
+        "dim_max": 32,
+        "image_size": 16,
+        "attn_resolutions": (),
+        "multiscale_input_resolutions": (8,),
+        "aux_recon_resolutions": (),
+        "aux_recon_patch_dims": (),
+        "aux_recon_frac_patches": (),
+        "unconditional": True,
+    },
+    "amp": False,
+    "apply_gradient_penalty_every": 0,
+    "log_steps_every": 10 ** 9,
+    "save_and_sample_every": 1,
+    "early_save_thres_steps": 0,
+    "num_samples": 2,
+    "seed": 0,
+}
+
+
+def test_upsampler_cli_roundtrip(tmp_path):
+    """train-upsampler for 1 step, then `upsample` a PNG via the CLI."""
+    cfg_path = tmp_path / "up.json"
+    cfg_path.write_text(json.dumps(TINY_UP, default=list))
+    models = tmp_path / "models"
+    rc = main([
+        "train-upsampler",
+        "--config", str(cfg_path),
+        "--mock-data",
+        "--input-size", "8",
+        "--image-size", "16",
+        "--batch-size", "8",
+        "--steps", "1",
+        "--models", str(models),
+        "--results", str(tmp_path / "results"),
+    ])
+    assert rc == 0
+
+    from PIL import Image
+
+    low = tmp_path / "low.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 255, (8, 8, 3), dtype=np.uint8), "RGB"
+    ).save(low)
+    out = tmp_path / "high.png"
+    rc = main([
+        "upsample", "--models", str(models),
+        "--input", str(low), "--seed", "0", "--out", str(out),
+    ])
+    assert rc == 0
+    img = np.asarray(Image.open(out))
+    assert img.shape[0] == 16 and img.shape[1] == 16
