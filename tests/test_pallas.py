@@ -700,3 +700,42 @@ class TestSecondOrderFusedAttention:
                 a / scale, b_ / scale, rtol=3e-4, atol=3e-4,
                 err_msg=f"shared-qk R1 d{name} mismatch",
             )
+
+    @pytest.mark.parametrize("budget", [1, 10 ** 9])
+    def test_budget_extremes_exact(self, budget, monkeypatch):
+        """The VMEM chunk budgets are hardware-tuned module knobs
+        (_BWD_BUDGET/_BWD2_BUDGET/_FWD_BUDGET); exactness must hold at the
+        degenerate extremes — the minimum 8-row chunk and one whole-nq
+        chunk — since budget sweeps on the device move through them."""
+        import gigagan_tpu.ops.pallas.flash_attention_fused as ff
+        import gigagan_tpu.ops.pallas.flash_attention_so as so
+        from gigagan_tpu.ops.pallas.flash_attention_so import (
+            flash_attend_so,
+        )
+
+        monkeypatch.setattr(so, "_BWD_BUDGET", budget)
+        monkeypatch.setattr(so, "_BWD2_BUDGET", budget)
+        monkeypatch.setattr(ff, "_FWD_BUDGET", max(budget, 8 * 32 * 4))
+
+        q, k, v, null_kv, _ = self._qkv(seed=4)
+        ref = self._ref(3, True, True)
+
+        def r1(f):
+            def inner(q, k, v, nkv):
+                out, vjp = jax.vjp(lambda x: f(x, k, v, nkv), q)
+                (gx,) = vjp(jnp.ones_like(out))
+                return (jnp.sum(gx.astype(jnp.float32) ** 2)
+                        + jnp.sum(out ** 2))
+            return inner
+
+        f_so = lambda q_, k_, v_, n_: flash_attend_so(
+            q_, k_, v_, n_, 3, True, None, True
+        )
+        g_so = jax.grad(r1(f_so), argnums=(0, 1, 2, 3))(q, k, v, null_kv)
+        g_rf = jax.grad(r1(ref), argnums=(0, 1, 2, 3))(q, k, v, null_kv)
+        for name, a, b_ in zip(("q", "k", "v", "null"), g_so, g_rf):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b_ / scale, rtol=3e-4, atol=3e-4,
+                err_msg=f"budget={budget} R1 d{name} mismatch",
+            )
