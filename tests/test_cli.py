@@ -13,19 +13,25 @@ import pytest
 from gigagan_tpu.cli import main
 
 TINY = {
+    # smallest config that exercises the full CLI surface: 16px, no attn
+    # (attention is covered extensively elsewhere), one multiscale input,
+    # one aux-recon head — keeps the compile-bound fixture ~4x cheaper
+    # than a 32px model on the 1-core CI box
     "generator": {
         "dim_capacity": 4,
-        "style_network": {"dim": 32, "depth": 2},
-        "image_size": 32,
-        "dim_max": 64,
+        "style_network": {"dim": 16, "depth": 1},
+        "image_size": 16,
+        "dim_max": 32,
+        "self_attn_resolutions": (),
+        "cross_attn_resolutions": (),
         "unconditional": True,
     },
     "discriminator": {
         "dim_capacity": 4,
-        "dim_max": 64,
-        "image_size": 32,
+        "dim_max": 32,
+        "image_size": 16,
         "attn_resolutions": (),
-        "multiscale_input_resolutions": (16,),
+        "multiscale_input_resolutions": (8,),
         "aux_recon_resolutions": (8,),
         "unconditional": True,
     },
@@ -51,7 +57,7 @@ def trained_folder(tmp_path_factory):
         "train",
         "--config", str(cfg_path),
         "--mock-data",
-        "--image-size", "32",
+        "--image-size", "16",
         "--batch-size", "8",
         "--steps", "2",
         "--models", str(models),
@@ -64,7 +70,7 @@ def trained_folder(tmp_path_factory):
 def test_train_writes_config_and_checkpoint(trained_folder):
     models, results = trained_folder
     cfg = json.loads((models / "config.json").read_text())
-    assert cfg["generator"]["image_size"] == 32
+    assert cfg["generator"]["image_size"] == 16
     assert cfg["model_folder"] == str(models)
     assert list(models.glob("model-*.ckpt")), "no checkpoint written"
     assert list(results.glob("sample-*.png")), "no sample grid written"
@@ -102,7 +108,7 @@ def test_resume_auto(trained_folder):
 
 def test_train_requires_data():
     with pytest.raises(AssertionError, match="--data"):
-        main(["train", "--steps", "1", "--image-size", "32"])
+        main(["train", "--steps", "1", "--image-size", "16"])
 
 
 TINY_UP = {
