@@ -119,6 +119,54 @@ def scatter_kernel(w, *, stride: int = 1, in_s2d: bool = True,
     return wp, pads, (sig_y, sig_x)
 
 
+# Execution mode for the scattered conv.  "conv": one
+# lax.conv_general_dilated (XLA's native conv path).  "taps": KY·KX
+# shifted matmuls accumulated in fp32 — the scattered kernels are tiny
+# (KY, KX ≤ 3) with DENSE-lane channel dims, so each tap is one
+# MXU-shaped (b·h·w, CI) @ (CI, CO) dot_general; exactly the same math,
+# alternative XLA lowering.  Module-level so the device A/B sweep
+# (scripts/bench_s2d.py) can flip it; "conv" is the measured default.
+_CONV_MODE = "conv"
+
+
+def _scattered_conv(x, wp, pads, sigmas):
+    """Run the scattered conv under the selected execution mode."""
+    if _CONV_MODE == "conv":
+        return lax.conv_general_dilated(
+            x, wp,
+            window_strides=sigmas,
+            padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
+    KY, KX, CI, CO = wp.shape
+    (py0, py1), (px0, px1) = pads
+    sy, sx = sigmas
+    # lax.pad supports the negative (cropping) edges scatter_kernel can
+    # produce; jnp.pad does not
+    xp = lax.pad(
+        x, jnp.zeros((), x.dtype),
+        ((0, 0, 0), (py0, py1, 0), (px0, px1, 0), (0, 0, 0)),
+    )
+    b, hp, wp_, _ = xp.shape
+    ho = (hp - KY) // sy + 1
+    wo = (wp_ - KX) // sx + 1
+    out = None
+    for ky in range(KY):
+        for kx in range(KX):
+            xs = lax.slice(
+                xp, (0, ky, kx, 0),
+                (b, ky + (ho - 1) * sy + 1, kx + (wo - 1) * sx + 1, CI),
+                (1, sy, sx, 1),
+            )
+            t = jnp.einsum(
+                "bhwc,cd->bhwd", xs, wp[ky, kx],
+                preferred_element_type=jnp.float32,
+            )
+            out = t if out is None else out + t
+    return out.astype(x.dtype)
+
+
 def s2d_conv(x, w, *, stride: int = 1, in_s2d: bool = True,
              out_s2d: bool = True, bias=None):
     """Apply the original conv `w` (kh, kw, ci, co; SAME padding, stride
@@ -129,13 +177,7 @@ def s2d_conv(x, w, *, stride: int = 1, in_s2d: bool = True,
     wp, pads, sigmas = scatter_kernel(
         w.astype(x.dtype), stride=stride, in_s2d=in_s2d, out_s2d=out_s2d
     )
-    out = lax.conv_general_dilated(
-        x, wp,
-        window_strides=sigmas,
-        padding=pads,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
-    )
+    out = _scattered_conv(x, wp, pads, sigmas)
     if bias is not None:
         b = jnp.tile(bias, F * F) if out_s2d else bias
         out = out + b.astype(out.dtype)
@@ -154,11 +196,7 @@ def dense_to_s2d(x, w_dense, bias=None):
         w_dense.reshape(1, 1, cin, cout).astype(x.dtype),
         stride=1, in_s2d=False, out_s2d=True,
     )
-    out = lax.conv_general_dilated(
-        x, wp, window_strides=sigmas, padding=pads,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
-    )
+    out = _scattered_conv(x, wp, pads, sigmas)
     if bias is not None:
         out = out + jnp.tile(bias, F * F).astype(out.dtype)
     return out

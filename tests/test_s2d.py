@@ -23,6 +23,14 @@ def rand(key, shape):
 
 
 class TestScatteredConv:
+    @pytest.fixture(autouse=True, params=["conv", "taps"])
+    def _conv_mode(self, request, monkeypatch):
+        """Run every scattered-conv exactness test under BOTH execution
+        modes: the native XLA conv and the shifted-matmul ("taps")
+        lowering — same math, alternative lowerings A/B'd on hardware by
+        scripts/bench_s2d.py."""
+        monkeypatch.setattr(s2d, "_CONV_MODE", request.param)
+
     @pytest.mark.parametrize("k,ci,co", [(3, 5, 7), (1, 4, 6), (5, 3, 3)])
     def test_s2d_to_s2d_stride1(self, k, ci, co):
         x = rand(0, (2, 16, 16, ci))
