@@ -90,7 +90,7 @@ def bench_upsampler():
     return BATCH * STEPS_TIMED / (time.perf_counter() - t0)
 
 
-def main():
+def _measure():
     gan = GigaGAN(
         gp_chunk=int(GP_CHUNK) if GP_CHUNK else None,
         gp_fwd_over_rev=GP_FOR,
@@ -147,7 +147,24 @@ def main():
     jax.block_until_ready(gan.state.g_params)
     elapsed = time.perf_counter() - t0
 
-    images_per_sec = BATCH * STEPS_TIMED / elapsed
+    return BATCH * STEPS_TIMED / elapsed
+
+
+def main():
+    # resilience: if a Pallas kernel fails to lower on this chip (new
+    # kernels land CPU-exactness-tested but may meet the hardware for the
+    # first time in this very run), fall back to the XLA attention path
+    # (GIGAGAN_FLASH=0 gates the whole flash family at trace time) rather
+    # than zeroing out the benchmark
+    flash_fallback = False
+    try:
+        images_per_sec = _measure()
+    except Exception as e:  # noqa: BLE001
+        print(f"# flash-path bench failed ({type(e).__name__}); "
+              f"retrying with GIGAGAN_FLASH=0", file=sys.stderr)
+        os.environ["GIGAGAN_FLASH"] = "0"
+        flash_fallback = True
+        images_per_sec = _measure()
 
     result = {
         "metric": "images_per_sec_per_chip_256px_gd_train_step",
@@ -157,6 +174,8 @@ def main():
             images_per_sec / A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE, 3
         ),
     }
+    if flash_fallback:
+        result["flash_fallback"] = True
     if not SKIP_UPSAMPLER:
         result["upsampler_64_to_256_images_per_sec_per_chip"] = round(
             bench_upsampler(), 3
