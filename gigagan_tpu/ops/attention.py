@@ -78,9 +78,11 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
     #   values AND gradients are unchanged);
     # - scale folds into q, |k|² + the key mask fold into one key-bias row,
     #   so similarity is one matmul + one fused broadcast add;
-    # - (n, n) intermediates are STORED in the operand dtype (bf16 under
-    #   amp — halves their HBM traffic; torch AMP materializes fp16 sim
-    #   the same way) while reductions and accumulations stay fp32;
+    # - logits stay fp32 end-to-end (bf16's 8 mantissa bits round them
+    #   ~4× coarser than torch-AMP fp16 would; since flash now owns every
+    #   ≥256-token map, this path's (n, n) tensors are small and the
+    #   former bf16-sim traffic saving is negligible — ADVICE r2); only
+    #   the exp'd attention map is stored in the operand dtype;
     # - the softmax divide runs on the (i, d) output, not the (i, j) map.
     coeff = 2.0 * scale if l2_dist else scale
     q_s = (q.astype(jnp.float32) * coeff).astype(q.dtype)
@@ -96,12 +98,9 @@ def attend(q, k, v, *, mask=None, l2_dist: bool = False, scale=None,
         bias = mbias if bias is None else bias + mbias
     if bias is not None:
         sim = sim + bias[..., None, :]
-    sim = sim.astype(sim_dtype)
 
-    m = lax.stop_gradient(
-        jnp.max(sim.astype(jnp.float32), axis=-1, keepdims=True)
-    )
-    e = jnp.exp(sim.astype(jnp.float32) - m).astype(sim_dtype)
+    m = lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+    e = jnp.exp(sim - m).astype(sim_dtype)
     s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
     out = jnp.einsum("bhij,bhjd->bhid", e.astype(q.dtype), v,
                      preferred_element_type=jnp.float32)

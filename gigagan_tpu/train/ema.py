@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax.flatten_util import ravel_pytree
 
 
 @struct.dataclass
@@ -63,7 +64,20 @@ def ema_update(
         mixed = old * decay + new * (1.0 - decay)
         return jnp.where(should_update | ~state.initted, mixed, old)
 
-    new_params = jax.tree.map(lerp, state.params, params)
+    # one-leaf-at-a-time lerp costs ~1.2 μs/launch of dispatch per leaf
+    # (scripts/bench_op_overhead.py); on homogeneous trees (the G's params
+    # are uniformly fp32) ravel to a single vector, lerp once, and unravel
+    # back (one fused slice per leaf).  Heterogeneous trees keep the
+    # per-leaf path for dtype fidelity.
+    leaves = jax.tree.leaves(state.params)
+    if len({jnp.asarray(x).dtype for x in leaves}) <= 1 and len(leaves) > 1:
+        old_flat, unravel = ravel_pytree(state.params)
+        new_flat = ravel_pytree(
+            jax.tree.map(lambda o, n: n.astype(o.dtype), state.params, params)
+        )[0]
+        new_params = unravel(lerp(old_flat, new_flat))
+    else:
+        new_params = jax.tree.map(lerp, state.params, params)
     return EMAState(
         params=new_params,
         initted=state.initted | should_update,

@@ -116,6 +116,28 @@ class TestEMA:
         # past warmup: lerping toward 2 but not instantly
         assert 1.0 < float(ema.params["w"][0]) <= 2.0
 
+    def test_flat_lerp_matches_per_leaf(self):
+        """The raveled EMA lerp (homogeneous trees) must equal the
+        per-leaf path (forced via a mixed-dtype tree) exactly."""
+        key = jax.random.PRNGKey(3)
+        mk = lambda k, s: jax.random.normal(k, s)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        homo = {"a": mk(k1, (4, 3)), "b": mk(k2, (5,))}
+        # same values, but one leaf fp64-disabled... use int step buffer to
+        # force the heterogeneous (per-leaf) path instead
+        hetero = dict(homo, c=jnp.arange(2, dtype=jnp.int32))
+        upd_homo = {"a": mk(k3, (4, 3)), "b": mk(k4, (5,))}
+        upd_hetero = dict(upd_homo, c=jnp.arange(2, dtype=jnp.int32))
+        e1, e2 = EMAState.create(homo), EMAState.create(hetero)
+        for _ in range(6):
+            e1 = ema_update(e1, upd_homo, update_every=2,
+                            update_after_step=1)
+            e2 = ema_update(e2, upd_hetero, update_every=2,
+                            update_after_step=1)
+        for k in homo:
+            np.testing.assert_allclose(e1.params[k], e2.params[k],
+                                       rtol=1e-6, atol=0)
+
     def test_update_every_gates(self):
         params = {"w": jnp.zeros(3)}
         ema = EMAState.create(params)
@@ -130,6 +152,40 @@ class TestEMA:
 
 
 class TestOptimizer:
+    def test_flat_matches_optax(self):
+        """flat_adamw's single-vector update must equal optax.adamw's
+        tree-mapped one leaf for leaf (and optax.adam at wd=0)."""
+        import optax
+
+        from gigagan_tpu.train.optimizer import get_optimizer
+
+        params = {
+            "w": jnp.linspace(-1.0, 1.0, 12).reshape(3, 4),
+            "b": jnp.array([0.5, -0.25, 2.0]),
+        }
+        key = jax.random.PRNGKey(7)
+        for wd in (0.0, 0.37):
+            flat_tx = get_optimizer(lr=3e-3, wd=wd, betas=(0.8, 0.95),
+                                    flat=True)
+            ref_tx = get_optimizer(lr=3e-3, wd=wd, betas=(0.8, 0.95),
+                                   flat=False)
+            p_flat, p_ref = params, params
+            s_flat, s_ref = flat_tx.init(p_flat), ref_tx.init(p_ref)
+            for i in range(3):
+                key, sub = jax.random.split(key)
+                grads = jax.tree.map(
+                    lambda p: jax.random.normal(sub, p.shape), params
+                )
+                u_flat, s_flat = flat_tx.update(grads, s_flat, p_flat)
+                u_ref, s_ref = ref_tx.update(grads, s_ref, p_ref)
+                p_flat = optax.apply_updates(p_flat, u_flat)
+                p_ref = optax.apply_updates(p_ref, u_ref)
+            for k in params:
+                np.testing.assert_allclose(
+                    p_flat[k], p_ref[k], rtol=2e-6, atol=2e-7,
+                    err_msg=f"wd={wd} leaf={k}",
+                )
+
     def test_adam_when_no_wd(self):
         tx = get_optimizer(lr=1e-3, wd=0.0, betas=(0.5, 0.9))
         params = {"w": jnp.ones((3, 3)), "b": jnp.ones((3,))}
