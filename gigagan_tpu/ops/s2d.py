@@ -125,8 +125,11 @@ def scatter_kernel(w, *, stride: int = 1, in_s2d: bool = True,
 # (KY, KX ≤ 3) with DENSE-lane channel dims, so each tap is one
 # MXU-shaped (b·h·w, CI) @ (CI, CO) dot_general; exactly the same math,
 # alternative XLA lowering.  Module-level so the device A/B sweep
-# (scripts/bench_s2d.py) can flip it; "conv" is the measured default.
-_CONV_MODE = "conv"
+# (scripts/bench_s2d.py) can flip it; overridable at import via
+# GIGAGAN_S2D_MODE for end-to-end bench A/Bs.
+import os as _os
+
+_CONV_MODE = _os.environ.get("GIGAGAN_S2D_MODE", "conv")
 
 
 def _scattered_conv(x, wp, pads, sigmas):

@@ -61,7 +61,9 @@ def ema_update(
 
     def lerp(old, new):
         new = new.astype(old.dtype)
-        mixed = old * decay + new * (1.0 - decay)
+        # the f32 decay multiply promotes non-f32 leaves; cast back so both
+        # the flat and per-leaf paths genuinely preserve leaf dtypes
+        mixed = (old * decay + new * (1.0 - decay)).astype(old.dtype)
         return jnp.where(should_update | ~state.initted, mixed, old)
 
     # one-leaf-at-a-time lerp costs ~1.2 μs/launch of dispatch per leaf

@@ -24,7 +24,7 @@ def _wd_mask(params):
 
 
 def flat_adamw(
-    lr: float,
+    lr,
     b1: float = 0.9,
     b2: float = 0.99,
     eps: float = 1e-8,
@@ -32,6 +32,9 @@ def flat_adamw(
     mask_fn=None,
 ):
     """Adam(W) computed on ONE raveled parameter vector.
+
+    ``lr`` may be a float or an optax schedule (callable of the saturating
+    int32 update count), matching the optax branch's capability.
 
     The tree-mapped optax update lowers to ~8 elementwise launches PER
     LEAF; at this model's ~300-leaf trees that is ~1.2 μs/launch of pure
@@ -67,7 +70,10 @@ def flat_adamw(
             raise ValueError("flat_adamw requires params")
         g, _ = ravel_pytree(grads)
         p, unravel = ravel_pytree(params)
-        count = state["count"] + 1
+        # optax.scale_by_schedule evaluates the schedule at the PRE-increment
+        # count (first update sees schedule(0)); match that.
+        lr_t = lr(state["count"]) if callable(lr) else lr
+        count = optax.safe_increment(state["count"])
         cf = count.astype(jnp.float32)
         m = b1 * state["m"] + (1.0 - b1) * g
         v = b2 * state["v"] + (1.0 - b2) * (g * g)
@@ -78,7 +84,7 @@ def flat_adamw(
             decayed = state["wd_mask"] * p if "wd_mask" in state else p
             u = u + wd * decayed
         new_state = dict(state, count=count, m=m, v=v)
-        return unravel((-lr * u).astype(p.dtype)), new_state
+        return unravel((-lr_t * u).astype(p.dtype)), new_state
 
     return optax.GradientTransformation(init, update)
 
