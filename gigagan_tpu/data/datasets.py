@@ -128,12 +128,33 @@ class DataLoader:
         if self.num_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
+            # Decode is pipelined ACROSS batches: up to (prefetch+1) batches'
+            # worth of item futures are in flight at once, so the pool never
+            # drains at batch boundaries (a per-batch pool.map barriers on
+            # the slowest item and idles the other workers meanwhile).
+            depth = (max(self.prefetch, 1) + 1) * self.batch_size
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for start in range(0, stop, self.batch_size):
+                pending = []
+                it = iter(range(0, stop, self.batch_size))
+
+                def submit_next():
+                    start = next(it, None)
+                    if start is None:
+                        return False
                     idx = order[start : start + self.batch_size]
-                    items = list(
-                        pool.map(self.dataset.__getitem__, map(int, idx))
+                    pending.append(
+                        [pool.submit(self.dataset.__getitem__, int(i))
+                         for i in idx]
                     )
+                    return True
+
+                while len(pending) * self.batch_size < depth:
+                    if not submit_next():
+                        break
+                while pending:
+                    batch_futures = pending.pop(0)
+                    items = [f.result() for f in batch_futures]
+                    submit_next()
                     yield self.collate_fn(items)
             return
         for start in range(0, stop, self.batch_size):
@@ -165,8 +186,18 @@ class DataLoader:
 
 
 def _load_image(path, image_size: int, hflip: bool,
-                convert_to: Optional[str], rng: random.Random):
+                convert_to: Optional[str], rng: random.Random,
+                fast_jpeg: bool = True):
     img = Image.open(path)
+    if fast_jpeg and img.format == "JPEG":
+        # libjpeg DCT-scaled decode: decode directly to the smallest
+        # DCT-scale ≥ the target short side (2-4× faster than full decode
+        # + downscale; the remaining bilinear resize below lands on the
+        # exact target).  The reference decodes full-size then resizes
+        # (torchvision T.Resize, data.py:68-74) — draft mode is a
+        # quality-equivalent TPU-host optimization, opt-out via
+        # ImageDataset(fast_jpeg=False).
+        img.draft("RGB", (image_size, image_size))
     if exists(convert_to) and img.mode != convert_to:
         img = img.convert(convert_to)
     elif img.mode != "RGB":
@@ -204,6 +235,7 @@ class ImageDataset:
         augment_horizontal_flip: bool = False,
         convert_image_to: Optional[str] = None,
         seed: int = 0,
+        fast_jpeg: bool = True,
     ):
         assert Image is not None, "PIL is required for ImageDataset"
         self.folder = folder
@@ -219,6 +251,7 @@ class ImageDataset:
         self.augment_horizontal_flip = augment_horizontal_flip
         self.convert_image_to = convert_image_to
         self.seed = seed
+        self.fast_jpeg = fast_jpeg
         self._counter = itertools.count()
 
     def get_dataloader(self, batch_size, **kwargs):
@@ -233,10 +266,14 @@ class ImageDataset:
         # per-call RNG (seed, index, access#): thread-safe under the
         # loader's decode pool, varies across epochs like torchvision's
         # global-rng RandomHorizontalFlip
-        rng = random.Random((self.seed, index, next(self._counter)))
+        # random.Random only seeds from scalars — mix (seed, index, call#)
+        # into one int (hash() is salted per-process for str, stable for
+        # ints/tuples of ints)
+        rng = random.Random(hash((self.seed, index, next(self._counter))))
         return _load_image(
             self.paths[index], self.image_size,
             self.augment_horizontal_flip, self.convert_image_to, rng,
+            fast_jpeg=self.fast_jpeg,
         )
 
 

@@ -95,6 +95,34 @@ class TestThreadedDecode:
         for (a,), (b,) in zip(serial, pooled):
             np.testing.assert_array_equal(a, b)
 
+    def test_image_dataset_decodes_real_jpegs(self, tmp_path):
+        """End-to-end ImageDataset: real JPEGs on disk → decode (draft and
+        full paths) → resize/crop → batched floats in [0, 1].  Regression:
+        __getitem__ used a tuple seed for random.Random and crashed on
+        every real-image access (round 4)."""
+        from PIL import Image
+
+        from gigagan_tpu.data import ImageDataset
+
+        rng = np.random.default_rng(0)
+        for i in range(101):
+            arr = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / f"im{i:03d}.jpg")
+        for fast in (True, False):
+            ds = ImageDataset(
+                tmp_path, 64, augment_horizontal_flip=True, seed=0,
+                fast_jpeg=fast,
+            )
+            item = ds[0]
+            assert item.shape == (64, 64, 3)
+            assert item.dtype == np.float32
+            assert 0.0 <= item.min() and item.max() <= 1.0
+        dl = ImageDataset(tmp_path, 64, seed=0).get_dataloader(
+            4, num_workers=2, prefetch=1,
+        )
+        (batch,) = next(iter(dl))
+        assert batch.shape == (4, 64, 64, 3)
+
     def test_mock_text_dataset_deterministic_per_index(self):
         ds = MockTextImageDataset(8, length=10, seed=3)
         img1, txt1 = ds[4]
