@@ -380,6 +380,47 @@ class HashTokenizer:
 
 # ------------------------------------------------------- torch weight port
 
+# sha256 prefixes of the reference's pretrained assets, for offline
+# verification of dropped-in files (reference downloads at runtime,
+# open_clip.py:21-28; this image has no egress).  open_clip's release
+# filenames embed the first 8 hex chars of the file's sha256 — e.g.
+# vit_b_32-laion400m_e32-46683a32.pt.
+KNOWN_SHA256_PREFIXES = {
+    ("ViT-B/32", "laion400m_e32"): "46683a32",
+}
+
+
+def file_sha256(path, chunk: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for blk in iter(lambda: f.read(chunk), b""):
+            h.update(blk)
+    return h.hexdigest()
+
+
+def verify_checkpoint_checksum(path, expected: Optional[str] = None):
+    """Checksum-verify a dropped-in CLIP checkpoint.
+
+    `expected` is a sha256 prefix (>= 8 hex chars).  When omitted, it is
+    recovered from the open_clip release filename convention
+    `*-<sha256[:8]>.pt` if the file matches it; files with no recoverable
+    expectation pass with a note (the hash is still computed and
+    returned so callers can pin it).  Raises ValueError on mismatch.
+    """
+    path = Path(str(path))
+    actual = file_sha256(path)
+    if expected is None:
+        m = re.search(r"-([0-9a-f]{8,64})\.(?:pt|bin|pth)$", path.name)
+        expected = m.group(1) if m else None
+    if expected is not None and not actual.startswith(expected.lower()):
+        raise ValueError(
+            f"CLIP checkpoint {path} sha256 mismatch: expected prefix "
+            f"{expected!r}, file hashes to {actual[:16]}…  (corrupt "
+            "download or wrong file)"
+        )
+    return actual
+
+
 def load_open_clip_torch_checkpoint(path, config: CLIPConfig = VIT_B_32):
     """Map an open_clip torch state_dict (as saved by open_clip /
     downloaded laion weights) onto the flax CLIPModel param tree."""
@@ -514,6 +555,8 @@ class OpenClipAdapter:
         bpe_path: Optional[str] = None,
         dtype: Dtype = jnp.float32,
         seed: int = 0,
+        expected_sha256: Optional[str] = None,
+        verify_checksum: bool = True,
     ):
         self.config = CONFIGS[name] if isinstance(name, str) else name
         self.eos_id = eos_id
@@ -523,6 +566,18 @@ class OpenClipAdapter:
             exists(pretrained) and Path(str(pretrained)).exists()
         )
         if self.has_pretrained_weights:
+            if verify_checksum:
+                expected = expected_sha256 or KNOWN_SHA256_PREFIXES.get(
+                    (name if isinstance(name, str) else "", "laion400m_e32")
+                    if "laion400m_e32" in Path(str(pretrained)).name
+                    else ("", "")
+                )
+                digest = verify_checkpoint_checksum(pretrained, expected)
+                print(
+                    f"[gigagan_tpu] CLIP checkpoint sha256 "
+                    f"{digest[:16]}… "
+                    + ("verified" if expected else "(no pin — recorded)")
+                )
             params = load_open_clip_torch_checkpoint(
                 pretrained, self.config
             )

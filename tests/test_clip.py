@@ -2,6 +2,9 @@
 vision-aided-discriminator tests.  Uses a tiny CLIP config so the CPU rig
 stays fast; architecture identical to ViT-B/32 modulo widths."""
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -168,6 +171,90 @@ class TestWeightPort:
         )
         assert out_img.shape == (1, 16) and out_txt.shape == (1, 16)
         assert np.isfinite(np.asarray(out_img)).all()
+
+
+class TestChecksumVerification:
+    def test_matching_prefix_passes_and_returns_digest(self, tmp_path):
+        from gigagan_tpu.models.clip import (
+            file_sha256,
+            verify_checkpoint_checksum,
+        )
+
+        p = tmp_path / "weights.pt"
+        p.write_bytes(b"not really a checkpoint")
+        digest = file_sha256(p)
+        assert verify_checkpoint_checksum(p, digest[:8]) == digest
+
+    def test_mismatch_raises(self, tmp_path):
+        from gigagan_tpu.models.clip import verify_checkpoint_checksum
+
+        p = tmp_path / "weights.pt"
+        p.write_bytes(b"corrupted bytes")
+        with pytest.raises(ValueError, match="sha256 mismatch"):
+            verify_checkpoint_checksum(p, "deadbeef")
+
+    def test_open_clip_filename_convention_recovers_expectation(
+        self, tmp_path
+    ):
+        from gigagan_tpu.models.clip import (
+            file_sha256,
+            verify_checkpoint_checksum,
+        )
+
+        # open_clip release names embed sha256[:8]; a wrong-hash file under
+        # such a name must be rejected with NO explicit expectation passed
+        bad = tmp_path / "vit_b_32-laion400m_e32-46683a32.pt"
+        bad.write_bytes(b"wrong contents")
+        if not file_sha256(bad).startswith("46683a32"):  # astronomically so
+            with pytest.raises(ValueError, match="sha256 mismatch"):
+                verify_checkpoint_checksum(bad)
+        # a name with no recoverable expectation passes and reports
+        anon = tmp_path / "mystery.pt"
+        anon.write_bytes(b"whatever")
+        assert verify_checkpoint_checksum(anon) == file_sha256(anon)
+
+
+@pytest.mark.skipif(
+    not (
+        os.environ.get("GIGAGAN_CLIP_CKPT")
+        and Path(os.environ.get("GIGAGAN_CLIP_CKPT", "")).exists()
+    ),
+    reason="set GIGAGAN_CLIP_CKPT (and optionally GIGAGAN_CLIP_BPE) to a "
+    "real open_clip ViT-B/32 laion400m_e32 checkpoint to run the "
+    "end-to-end pretrained-CLIP test (no network egress here to "
+    "download one — see README 'Pretrained CLIP')",
+)
+class TestRealPretrainedClip:
+    """End-to-end receipt over REAL dropped-in assets: checksum-verified
+    load, real vocabulary, and semantically meaningful embeddings
+    (matching text/image pairs beat mismatched ones)."""
+
+    def test_real_checkpoint_loads_and_embeds(self):
+        from gigagan_tpu.models.clip import OpenClipAdapter
+
+        adapter = OpenClipAdapter(
+            pretrained=os.environ["GIGAGAN_CLIP_CKPT"],
+            bpe_path=os.environ.get("GIGAGAN_CLIP_BPE"),
+        )
+        assert adapter.has_pretrained_weights
+        if os.environ.get("GIGAGAN_CLIP_BPE"):
+            assert not adapter.mock_reasons
+        # laion400m_e32 trains logit_scale to ~100
+        assert 10.0 < adapter.logit_scale < 200.0
+        embeds, encodings = adapter.embed_texts(
+            ["a photo of a red square", "a photo of a blue circle"]
+        )
+        assert np.isfinite(np.asarray(embeds)).all()
+        # solid-color test images: red should match "red square" text
+        red = np.zeros((1, 224, 224, 3), np.float32)
+        red[..., 0] = 1.0
+        blue = np.zeros((1, 224, 224, 3), np.float32)
+        blue[..., 2] = 1.0
+        img_embeds, _ = adapter.embed_images(
+            jnp.asarray(np.concatenate([red, blue]))
+        )
+        sim = np.asarray(img_embeds) @ np.asarray(embeds).T
+        assert sim[0, 0] > sim[0, 1] and sim[1, 1] > sim[1, 0]
 
 
 class TestCLIPGoldenParity:
