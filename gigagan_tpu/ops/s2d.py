@@ -124,17 +124,28 @@ def scatter_kernel(w, *, stride: int = 1, in_s2d: bool = True,
 # shifted matmuls accumulated in fp32 — the scattered kernels are tiny
 # (KY, KX ≤ 3) with DENSE-lane channel dims, so each tap is one
 # MXU-shaped (b·h·w, CI) @ (CI, CO) dot_general; exactly the same math,
-# alternative XLA lowering.  Module-level so the device A/B sweep
-# (scripts/bench_s2d.py) can flip it; overridable at import via
-# GIGAGAN_S2D_MODE for end-to-end bench A/Bs.
+# alternative XLA lowering.  "auto" (default) picks per shape from the
+# round-4 v5e device-trace A/B (scripts/trace_s2d.py, fwd+bwd ms/app):
+# conv wins every bench shape except the tiny-channel G-stage form
+# (≤32 scattered channels: G256 conv 0.420 vs taps 0.158; all wider
+# shapes regress under taps — D256 0.96→4.3, from_rgb 0.54→23.3).
+# Module-level so the device A/B sweeps can force a mode; overridable at
+# import via GIGAGAN_S2D_MODE for end-to-end bench A/Bs.
 import os as _os
 
-_CONV_MODE = _os.environ.get("GIGAGAN_S2D_MODE", "conv")
+_CONV_MODE = _os.environ.get("GIGAGAN_S2D_MODE", "auto")
+
+
+def _pick_mode(wp):
+    if _CONV_MODE != "auto":
+        return _CONV_MODE
+    KY, KX, CI, CO = wp.shape
+    return "taps" if (CI <= 32 and CO <= 32) else "conv"
 
 
 def _scattered_conv(x, wp, pads, sigmas):
     """Run the scattered conv under the selected execution mode."""
-    if _CONV_MODE == "conv":
+    if _pick_mode(wp) == "conv":
         return lax.conv_general_dilated(
             x, wp,
             window_strides=sigmas,
