@@ -26,6 +26,11 @@ import jax.numpy as jnp
 from gigagan_tpu.data import MockImageDataset
 from gigagan_tpu.train import GigaGAN
 from gigagan_tpu.utils import cycle
+from gigagan_tpu.utils.profiling import enable_compile_cache
+
+# persistent compile cache: step compiles take minutes cold; any prior run
+# on this machine (tests, traces, a previous bench) leaves a warm cache
+enable_compile_cache()
 
 A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE = 30.0
 

@@ -102,7 +102,7 @@ def kernel_gram(weights):
     return jnp.sum(flat[:, None] * flat[None, :], axis=2)
 
 
-def _conv(x, w, *, stride: int, dilation: int, rank: int):
+def _conv(x, w, *, stride: int, dilation: int, rank: int, out_dtype=None):
     pad = get_same_padding(w.shape[0], dilation)
     return lax.conv_general_dilated(
         x,
@@ -111,8 +111,43 @@ def _conv(x, w, *, stride: int, dilation: int, rank: int):
         padding=((pad, pad),) * rank,
         rhs_dilation=(dilation,) * rank,
         dimension_numbers=_dim_numbers(rank),
-        preferred_element_type=x.dtype,
+        preferred_element_type=out_dtype or x.dtype,
     )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_f32_out(x, w, cfg):
+    """`_conv` with fp32 output from bf16 operands (free on the MXU, which
+    accumulates fp32 regardless).  Needs a custom VJP because XLA's conv
+    transpose cannot mix the fp32 cotangent with bf16 weights — the
+    backward casts the cotangent to the operand dtype (one benign
+    rounding) and transposes the ORDINARY operand-dtype conv."""
+    stride, dilation, rank = cfg
+    return _conv(x, w, stride=stride, dilation=dilation, rank=rank,
+                 out_dtype=jnp.float32)
+
+
+def _conv_f32_out_fwd(x, w, cfg):
+    return _conv_f32_out(x, w, cfg), (x, w)
+
+
+def _conv_f32_out_bwd(cfg, res, g):
+    x, w = res
+    stride, dilation, rank = cfg
+    g = g.astype(x.dtype)
+
+    def fx(x_):
+        return _conv(x_, w, stride=stride, dilation=dilation, rank=rank)
+
+    def fw(w_):
+        return _conv(x, w_, stride=stride, dilation=dilation, rank=rank)
+
+    (dx,) = jax.linear_transpose(fx, x)(g)
+    (dw,) = jax.linear_transpose(fw, w)(g)
+    return dx, dw
+
+
+_conv_f32_out.defvjp(_conv_f32_out_fwd, _conv_f32_out_bwd)
 
 
 def demod_scale(weights, scale_in, attn=None, eps: float = 1e-8):
@@ -242,8 +277,18 @@ def adaptive_conv(
     # (2) one conv with n·o output channels, then per-sample bank mixing
     w_flat = jnp.moveaxis(weights, 0, -2)  # (*k, i, n, o)
     w_flat = w_flat.reshape(*weights.shape[1:-1], n * weights.shape[-1])
-    out = _conv(x, w_flat.astype(compute_dtype), stride=stride,
-                dilation=dilation, rank=rank)
+    # fp32 per-bank outputs when adaptive: dkmod is a tiny residual of
+    # ~spatial·o cancelling terms, so bf16 ROUNDING of the per-bank conv
+    # outputs (not accumulation — the MXU accumulates fp32 regardless)
+    # blows its relative error up ~100× (measured 1.18 max-rel-err vs the
+    # fp32 oracle on v5e; the fused Pallas kernel, which mixes banks in
+    # fp32 inside the kernel, sat at 0.026).  The fp32 intermediate fuses
+    # into the mixing einsum below, so the HBM cost is transient.
+    w_c = w_flat.astype(compute_dtype)
+    if adaptive and compute_dtype != jnp.float32:
+        out = _conv_f32_out(x, w_c, (stride, dilation, rank))
+    else:
+        out = _conv(x, w_c, stride=stride, dilation=dilation, rank=rank)
     # out: (b, *spatial, n*o)
 
     if adaptive:
@@ -252,8 +297,9 @@ def adaptive_conv(
         o = weights.shape[-1]
         out = out.reshape(*out.shape[:-1], n, o)
         out = jnp.einsum(
-            "bn,b...no->b...o", attn.astype(compute_dtype), out
-        )
+            "bn,b...no->b...o", attn, out,
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
     else:
         attn = None
 
@@ -280,8 +326,11 @@ def _adaptive_conv_s2d(
 
     w_flat = jnp.moveaxis(weights, 0, -2)  # (kh, kw, i, n, o)
     w_flat = w_flat.reshape(*weights.shape[1:-1], n * o)
+    # fp32 per-bank outputs when adaptive, for dkmod fidelity (see the
+    # dense path above)
     out = s2d_ops.s2d_conv(
         x, w_flat.astype(compute_dtype), in_s2d=in_s2d, out_s2d=out_s2d,
+        out_dtype=jnp.float32 if adaptive else None,
     )
     sub = 4 if out_s2d else 1
 
@@ -291,8 +340,9 @@ def _adaptive_conv_s2d(
         # out channels are (sub, n, o) position-major
         out = out.reshape(*out.shape[:-1], sub, n, o)
         out = jnp.einsum(
-            "bn,b...no->b...o", attn.astype(compute_dtype), out
-        )
+            "bn,b...no->b...o", attn, out,
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
         out = out.reshape(*out.shape[:-2], sub * o)
     else:
         attn = None

@@ -123,6 +123,13 @@ def attend_fused(q, k, v, *, heads: int, null_kv=None,
     if scale is None:
         scale = d ** -0.5
 
+    # the caller's explicit choice (None = auto): the fallback below must
+    # forward it so an explicit use_flash=False (oracles, verify_kernels)
+    # isn't re-dispatched to a flash kernel by attend's own heuristic,
+    # while auto callers still get the split-heads flash path when the
+    # fused kernel is inapplicable
+    explicit_use_flash = use_flash
+
     if use_flash is None:
         from gigagan_tpu.ops.pallas.flash_attention import flash_auto
         from gigagan_tpu.ops.pallas.flash_attention_fused import head_group
@@ -174,7 +181,8 @@ def attend_fused(q, k, v, *, heads: int, null_kv=None,
         ).astype(vh.dtype)
         kh = jnp.concatenate((nk_tok, kh), axis=-2)
         vh = jnp.concatenate((nv_tok, vh), axis=-2)
-    out = attend(qh, kh, vh, l2_dist=l2_dist, scale=scale)
+    out = attend(qh, kh, vh, l2_dist=l2_dist, scale=scale,
+                 use_flash=explicit_use_flash)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, nq, heads * d)
 
 

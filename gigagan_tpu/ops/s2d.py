@@ -143,15 +143,16 @@ def _pick_mode(wp):
     return "taps" if (CI <= 32 and CO <= 32) else "conv"
 
 
-def _scattered_conv(x, wp, pads, sigmas):
+def _scattered_conv(x, wp, pads, sigmas, out_dtype=None):
     """Run the scattered conv under the selected execution mode."""
+    out_dtype = out_dtype or x.dtype
     if _pick_mode(wp) == "conv":
         return lax.conv_general_dilated(
             x, wp,
             window_strides=sigmas,
             padding=pads,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=x.dtype,
+            preferred_element_type=out_dtype,
         )
     KY, KX, CI, CO = wp.shape
     (py0, py1), (px0, px1) = pads
@@ -178,20 +179,55 @@ def _scattered_conv(x, wp, pads, sigmas):
                 preferred_element_type=jnp.float32,
             )
             out = t if out is None else out + t
-    return out.astype(x.dtype)
+    return out.astype(out_dtype)
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.custom_vjp, nondiff_argnums=(2, 3))
+def _scattered_conv_f32(x, wp, pads, sigmas):
+    """`_scattered_conv` with fp32 output from bf16 operands (free on the
+    MXU).  Custom VJP: the conv transpose cannot mix an fp32 cotangent
+    with bf16 weights, so the backward casts the cotangent to the operand
+    dtype (one benign rounding) and transposes the operand-dtype conv."""
+    return _scattered_conv(x, wp, pads, sigmas, out_dtype=jnp.float32)
+
+
+def _scattered_conv_f32_fwd(x, wp, pads, sigmas):
+    return _scattered_conv_f32(x, wp, pads, sigmas), (x, wp)
+
+
+def _scattered_conv_f32_bwd(pads, sigmas, res, g):
+    x, wp = res
+    g = g.astype(x.dtype)
+    (dx,) = _jax.linear_transpose(
+        lambda x_: _scattered_conv(x_, wp, pads, sigmas), x)(g)
+    (dwp,) = _jax.linear_transpose(
+        lambda w_: _scattered_conv(x, w_, pads, sigmas), wp)(g)
+    return dx, dwp
+
+
+_scattered_conv_f32.defvjp(_scattered_conv_f32_fwd, _scattered_conv_f32_bwd)
 
 
 def s2d_conv(x, w, *, stride: int = 1, in_s2d: bool = True,
-             out_s2d: bool = True, bias=None):
+             out_s2d: bool = True, bias=None, out_dtype=None):
     """Apply the original conv `w` (kh, kw, ci, co; SAME padding, stride
     1 or 2) to `x` held in s2d layout (or normal layout for the entry
     form), producing s2d (or normal) output.  Exact up to fp
-    reassociation.
+    reassociation.  out_dtype overrides the output dtype (fp32 bank
+    outputs for the adaptive-conv mixing — see ops/adaptive_conv.py).
     """
     wp, pads, sigmas = scatter_kernel(
         w.astype(x.dtype), stride=stride, in_s2d=in_s2d, out_s2d=out_s2d
     )
-    out = _scattered_conv(x, wp, pads, sigmas)
+    if out_dtype == jnp.float32 and x.dtype != jnp.float32:
+        out = _scattered_conv_f32(x, wp, pads, sigmas)
+    else:
+        out = _scattered_conv(x, wp, pads, sigmas, out_dtype=out_dtype)
     if bias is not None:
         b = jnp.tile(bias, F * F) if out_s2d else bias
         out = out + b.astype(out.dtype)

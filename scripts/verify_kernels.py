@@ -58,33 +58,53 @@ def record(name, pairs, tol):
 
 def check_adaptive_conv():
     """Fused adaptive conv (fwd + all four grads) at the bench G's widest
-    stage shape, bf16 operands like the amp step."""
+    stage shape, bf16 operands like the amp step — each path judged
+    against the fp32 XLA oracle.
+
+    A bf16-vs-bf16 pairwise check is NOT a valid oracle here: dkmod is a
+    tiny residual of ~spatial·o cancelling terms, and on v5e the bf16 XLA
+    path measured 1.18 max-rel-err against the fp32 truth while the Pallas
+    kernel (fp32 accumulators end-to-end) sat at 0.026 — i.e. the kernel
+    was RIGHT and the naive oracle wrong (round 4; the XLA mixing einsum
+    has since gained fp32 accumulation too)."""
     b, h, w, ci, co, n = 8, 32, 32, 256, 256, 2
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    x = jax.random.normal(ks[0], (b, h, w, ci), jnp.bfloat16)
-    weights = (jax.random.normal(ks[1], (n, 3, 3, ci, co)) * 0.2).astype(
-        jnp.bfloat16
-    )
-    mod = jax.random.normal(ks[2], (b, ci), jnp.bfloat16)
-    kmod = jax.random.normal(ks[3], (b, n), jnp.bfloat16)
+    xf = jax.random.normal(ks[0], (b, h, w, ci), jnp.float32)
+    wf = jax.random.normal(ks[1], (n, 3, 3, ci, co)) * 0.2
+    mf = jax.random.normal(ks[2], (b, ci), jnp.float32)
+    kf = jax.random.normal(ks[3], (b, n), jnp.float32)
 
-    def loss(use_pallas):
+    def loss(dtype, use_pallas):
+        args = [t.astype(dtype) for t in (xf, wf, mf, kf)]
+
         def f(x, w, m, km):
             out = adaptive_conv(x, w, m, km, use_pallas=use_pallas)
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
         val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3)))(
-            x, weights, mod, kmod
+            *args
         )
         return [val, *grads]
 
-    got = loss(True)
-    want = loss(False)
+    labels = ["val", "dx", "dw", "dmod", "dkmod"]
+    want = loss(jnp.float32, False)
     record(
-        "adaptive_conv_fused(b8 32x32 256->256 n2, fwd+4 grads)",
-        [(lbl, g, w_) for lbl, g, w_ in
-         zip(["val", "dx", "dw", "dmod", "dkmod"], got, want)],
-        tol=3e-2,
+        "adaptive_conv_fused f32 (b8 32x32 256->256 n2, fwd+4 grads)",
+        list(zip(labels, loss(jnp.float32, True), want)),
+        tol=2e-2,
+    )
+    # bf16 rounds the INPUTS too, so the tolerance vs the f32 oracle is
+    # looser; the point is catching path-specific accumulation blowups
+    # (the 1.18 above), not bf16 input rounding
+    record(
+        "adaptive_conv_fused bf16-vs-f32-oracle",
+        list(zip(labels, loss(jnp.bfloat16, True), want)),
+        tol=8e-2,
+    )
+    record(
+        "adaptive_conv_xla bf16-vs-f32-oracle",
+        list(zip(labels, loss(jnp.bfloat16, False), want)),
+        tol=8e-2,
     )
 
 

@@ -818,3 +818,100 @@ class TestReferenceVideoDefect:
         lat = torch.randn(2, STYLE_DIM)
         with torch.no_grad(), pytest.raises(RuntimeError):
             u(video, noise=lat)
+
+
+# --------------------------------------------- trainer generate() parity
+
+class TestTrainerGenerateParity:
+    def test_generate_ema_and_raw_match_reference(self, ref, tmp_path):
+        """Seed-matched `GigaGAN.generate()` vs the reference's sampling
+        (reference :2165-2169: `model = G_ema if has_ema else G;
+        model.eval(); return model(*args)`): with the RAW weights ported
+        into state.g_params and a distinct weight set ported into
+        state.ema.params, `generate(use_ema=True)` must reproduce the
+        reference EMA model's forward and `generate(use_ema=False)` the raw
+        model's, on identical latents.  Closes the loop the module-level
+        forward-parity tests leave open: EMA param selection, the latent
+        plumbing, and output dtype/layout of the trainer path."""
+        from gigagan_tpu.train import GigaGAN
+
+        ref_raw = build_reference_generator(ref)  # seeds torch with 0
+        torch.manual_seed(11)
+        ref_ema = ref.Generator(
+            image_size=IMAGE_SIZE,
+            dim_capacity=4,
+            dim_max=64,
+            dim_latent=DIM_LATENT,
+            style_network=dict(dim=STYLE_DIM, depth=2),
+            self_attn_resolutions=(),
+            self_attn_dim_head=8,
+            self_attn_heads=2,
+            cross_attn_resolutions=(),
+            num_conv_kernels=2,
+            unconditional=True,
+        )
+        ref_raw.eval()
+        ref_ema.eval()
+
+        gan = GigaGAN(
+            generator=dict(
+                image_size=IMAGE_SIZE,
+                dim_capacity=4,
+                dim_max=64,
+                dim_latent=DIM_LATENT,
+                style_network=dict(dim=STYLE_DIM, depth=2),
+                self_attn_resolutions=(),
+                self_attn_dim_head=8,
+                self_attn_heads=2,
+                cross_attn_resolutions=(),
+                num_conv_kernels=2,
+                unconditional=True,
+            ),
+            discriminator=dict(
+                image_size=IMAGE_SIZE,
+                dim_capacity=4,
+                dim_max=64,
+                unconditional=True,
+            ),
+            amp=False,
+            model_folder=str(tmp_path / "models"),
+            results_folder=str(tmp_path / "results"),
+            log_steps_every=10 ** 9,
+            save_and_sample_every=10 ** 9,
+            early_save_thres_steps=0,
+            seed=0,
+        )
+        assert gan.has_ema_generator
+
+        template = jax.device_get(gan.state.g_params)
+        raw_params = port_generator_params(ref_raw, template)
+        ema_params = port_generator_params(ref_ema, template)
+        gan.state = gan.state.replace(
+            g_params=raw_params,
+            ema=gan.state.ema.replace(params=ema_params),
+        )
+
+        torch.manual_seed(3)
+        latents = torch.randn(2, STYLE_DIM)
+        with torch.no_grad():
+            want_raw = t2n(ref_raw(noise=latents))
+            want_ema = t2n(ref_ema(noise=latents))
+        # distinct weight sets ⇒ the two oracles must differ, or the test
+        # could pass with use_ema wired backwards
+        assert np.abs(want_raw - want_ema).max() > 1e-3
+
+        noise = jnp.asarray(t2n(latents))
+        got_ema = gan.generate(batch_size=2, noise=noise, seed=5)
+        got_raw = gan.generate(
+            batch_size=2, noise=noise, seed=5, use_ema=False
+        )
+
+        assert got_ema.dtype == np.float32 and got_ema.shape == (
+            2, IMAGE_SIZE, IMAGE_SIZE, 3,
+        )
+        np.testing.assert_allclose(
+            got_ema.transpose(0, 3, 1, 2), want_ema, rtol=5e-3, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            got_raw.transpose(0, 3, 1, 2), want_raw, rtol=5e-3, atol=5e-4
+        )
