@@ -120,27 +120,54 @@ def scatter_kernel(w, *, stride: int = 1, in_s2d: bool = True,
 
 
 # Execution mode for the scattered conv.  "conv": one
-# lax.conv_general_dilated (XLA's native conv path).  "taps": KY·KX
-# shifted matmuls accumulated in fp32 — the scattered kernels are tiny
-# (KY, KX ≤ 3) with DENSE-lane channel dims, so each tap is one
-# MXU-shaped (b·h·w, CI) @ (CI, CO) dot_general; exactly the same math,
-# alternative XLA lowering.  "auto" (default) picks per shape from the
-# round-4 v5e device-trace A/B (scripts/trace_s2d.py, fwd+bwd ms/app):
-# conv wins every bench shape except the tiny-channel G-stage form
-# (≤32 scattered channels: G256 conv 0.420 vs taps 0.158; all wider
-# shapes regress under taps — D256 0.96→4.3, from_rgb 0.54→23.3).
-# Module-level so the device A/B sweeps can force a mode; overridable at
-# import via GIGAGAN_S2D_MODE for end-to-end bench A/Bs.
+# lax.conv_general_dilated (XLA's native conv path) on the dense
+# scattered kernel (4× the original FLOPs for s2d→s2d 3×3).  "taps":
+# KY·KX shifted matmuls accumulated in fp32 — same dense kernel, one
+# MXU-shaped (b·h·w, CI) @ (CI, CO) dot_general per tap.  "blocks":
+# EXACT-FLOPs block decomposition (s2d→s2d 3×3 stride-1 only) — the
+# scattered kernel's per-tap (s, t) sub-position support is rectangular
+# (full 4×4 at q=(0,0), 2×2 edges, 1×1 corners; DESIGN.md), so the conv
+# is exactly 9 matmuls on channel sub-blocks of shifted inputs: 1×
+# (4ci→4co) + 4× (2ci→2co) + 4× (ci→co) = the ORIGINAL conv's 36·ci·co
+# FLOPs/grid-point instead of the dense form's 144.  Pure XLA ops, so
+# autodiff (incl. the R1 double-backward) needs no custom rules.
+# "auto" (default) picks per shape from the round-4 v5e device-trace A/B
+# (scripts/trace_s2d.py, fwd+bwd ms/app — see the table in DESIGN.md):
+# blocks only for TINY-channel eligible forms (ci, co ≤ 8 — G256 blocks
+# 0.112 beats taps 0.158 and conv 0.420; wider shapes regress, see
+# `_use_blocks`), the polyphase einsum for dense_to_s2d, conv for
+# everything else (from_rgb 3→16 conv 0.54 vs taps 23.3).  Module-level
+# so the device A/B sweeps can force a mode; overridable at import via
+# GIGAGAN_S2D_MODE for end-to-end bench A/Bs.
 import os as _os
 
 _CONV_MODE = _os.environ.get("GIGAGAN_S2D_MODE", "auto")
 
 
 def _pick_mode(wp):
-    if _CONV_MODE != "auto":
-        return _CONV_MODE
+    mode = _CONV_MODE if _CONV_MODE != "blocks" else "auto"
+    if mode != "auto":
+        return mode
     KY, KX, CI, CO = wp.shape
     return "taps" if (CI <= 32 and CO <= 32) else "conv"
+
+
+def _use_blocks(kh, kw, stride, in_s2d, out_s2d, ci, co) -> bool:
+    """Route to the exact-FLOPs block decomposition?  Only the s2d→s2d
+    3×3 stride-1 form has the 4×-inflation the blocks recover — and the
+    round-4 device A/B (scripts/trace_s2d.py, fwd+bwd ms/app) shows the
+    win only materialises at TINY channels, where the dense scattered
+    conv pads lanes anyway: G256 (ci=co=8) blocks 0.112 vs taps 0.158
+    vs conv 0.420; wider shapes REGRESS under blocks despite the 4×
+    fewer FLOPs (D256 ci=16: conv 0.96 vs blocks 1.82; D128 ci=32:
+    0.42 vs 1.22; D64 ci=64: 0.43 vs 0.61) — XLA tiles one dense conv
+    better than 9 thin block dots."""
+    eligible = (
+        kh == 3 and kw == 3 and stride == 1 and in_s2d and out_s2d
+    )
+    if _CONV_MODE == "blocks":
+        return eligible
+    return eligible and _CONV_MODE == "auto" and ci <= 8 and co <= 8
 
 
 def _scattered_conv(x, wp, pads, sigmas, out_dtype=None):
@@ -213,6 +240,104 @@ def _scattered_conv_f32_bwd(pads, sigmas, res, g):
 _scattered_conv_f32.defvjp(_scattered_conv_f32_fwd, _scattered_conv_f32_bwd)
 
 
+def _s2d_block_conv_impl(x, w, acc_dtype):
+    """Exact-FLOPs s2d→s2d 3×3 stride-1 conv: 9 block matmuls on channel
+    sub-blocks of grid-shifted inputs (see the mode comment above).
+
+    Derivation (per axis, k=3, stride 1, pad 1, f=2): the tap map is
+    s = t + d − 1 with grid offset q = 0 for all four (s, t) pairs
+    (d = s − t + 1 ∈ {0, 1, 2}), plus the two stragglers q=−1:
+    (s,t,d)=(1,0,0) and q=+1: (0,1,2).  2-D blocks are the tensor
+    products: center q=(0,0) full (4ci→4co), four edges (2ci→2co), four
+    corners (ci→co) — together exactly the original conv's taps.
+
+    x: (b, g, g, 4ci) position-major; w: (3, 3, ci, co) ORIGINAL weights.
+    acc_dtype: dtype the block dots produce and the sums run in.  The
+    operand dtype keeps the dot TRANSPOSES in operand precision (an fp32
+    preferred type would push fp32 cotangents into every transposed dot —
+    a half-rate MXU path); fp32 is for the custom-VJP wrapper below.
+    """
+    b, gh, gw, c4 = x.shape
+    kh, kw, ci, co = w.shape
+    assert kh == 3 and kw == 3 and c4 == 4 * ci
+    w = w.astype(x.dtype)
+    A = jnp.asarray(_axis_taps(3, 1, F, F)[0], x.dtype)
+    Ac = A[1]  # center (q=0) axis taps: Ac[s, t, d] = 1 iff d == s-t+1
+
+    # weight blocks (weight-sized einsums, cheap next to the matmuls)
+    M_c = jnp.einsum("std,uve,deio->suitvo", Ac, Ac, w).reshape(
+        4 * ci, 4 * co
+    )
+    E_ym = jnp.einsum("uve,eio->uivo", Ac, w[0]).reshape(2 * ci, 2 * co)
+    E_yp = jnp.einsum("uve,eio->uivo", Ac, w[2]).reshape(2 * ci, 2 * co)
+    E_xm = jnp.einsum("std,dio->sito", Ac, w[:, 0])  # (2, ci, 2, co)
+    E_xp = jnp.einsum("std,dio->sito", Ac, w[:, 2])
+
+    xp = lax.pad(
+        x, jnp.zeros((), x.dtype),
+        ((0, 0, 0), (1, 1, 0), (1, 1, 0), (0, 0, 0)),
+    )
+
+    def shift(qy, qx, c0=0, c1=None):
+        c1 = c4 if c1 is None else c1
+        return lax.slice(
+            xp, (0, qy + 1, qx + 1, c0), (b, qy + 1 + gh, qx + 1 + gw, c1)
+        )
+
+    acc = dict(preferred_element_type=acc_dtype)
+    dot = lambda t, m: jnp.einsum("bhwc,cd->bhwd", t, m, **acc)  # noqa: E731
+
+    C = dot(shift(0, 0), M_c)  # (b, g, g, 4co)
+    ym = dot(shift(-1, 0, 2 * ci), E_ym)      # sy=1 → ty=0: (b,g,g,2co)
+    yp = dot(shift(+1, 0, 0, 2 * ci), E_yp)   # sy=0 → ty=1
+    # sx=1 / sx=0 views: position-major channels reshape to (sy, sx, ci)
+    xm_in = shift(0, -1).reshape(b, gh, gw, 2, 2, ci)[..., 1, :]
+    xp_in = shift(0, +1).reshape(b, gh, gw, 2, 2, ci)[..., 0, :]
+    xm = jnp.einsum("bhwsc,sctd->bhwtd", xm_in, E_xm, **acc)  # tx=0
+    xpp = jnp.einsum("bhwsc,sctd->bhwtd", xp_in, E_xp, **acc)  # tx=1
+    k_mm = dot(shift(-1, -1, 3 * ci), w[0, 0])         # (sy,sx)=(1,1)
+    k_mp = dot(shift(-1, +1, 2 * ci, 3 * ci), w[0, 2])  # (1,0)
+    k_pm = dot(shift(+1, -1, ci, 2 * ci), w[2, 0])      # (0,1)
+    k_pp = dot(shift(+1, +1, 0, ci), w[2, 2])           # (0,0)
+
+    y00 = C[..., :co] + ym[..., :co] + xm[..., 0, :] + k_mm
+    y01 = C[..., co:2 * co] + ym[..., co:] + xpp[..., 0, :] + k_mp
+    y10 = C[..., 2 * co:3 * co] + yp[..., :co] + xm[..., 1, :] + k_pm
+    y11 = C[..., 3 * co:] + yp[..., co:] + xpp[..., 1, :] + k_pp
+    return jnp.concatenate((y00, y01, y10, y11), axis=-1)
+
+
+@_partial(_jax.custom_vjp)
+def _s2d_block_conv_f32(x, w):
+    """Block conv with fp32 output from bf16 operands (for the adaptive
+    bank mixing).  Same custom-VJP rationale as `_scattered_conv_f32`."""
+    return _s2d_block_conv_impl(x, w, jnp.float32)
+
+
+def _s2d_block_conv_f32_fwd(x, w):
+    return _s2d_block_conv_f32(x, w), (x, w)
+
+
+def _s2d_block_conv_f32_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    (dx,) = _jax.linear_transpose(
+        lambda x_: _s2d_block_conv_impl(x_, w, x.dtype), x)(g)
+    (dw,) = _jax.linear_transpose(
+        lambda w_: _s2d_block_conv_impl(x, w_, x.dtype), w)(g)
+    return dx, dw
+
+
+_s2d_block_conv_f32.defvjp(_s2d_block_conv_f32_fwd, _s2d_block_conv_f32_bwd)
+
+
+def _s2d_block_conv(x, w, out_dtype=None):
+    out_dtype = out_dtype or x.dtype
+    if out_dtype == jnp.float32 and x.dtype != jnp.float32:
+        return _s2d_block_conv_f32(x, w)
+    return _s2d_block_conv_impl(x, w, x.dtype).astype(out_dtype)
+
+
 def s2d_conv(x, w, *, stride: int = 1, in_s2d: bool = True,
              out_s2d: bool = True, bias=None, out_dtype=None):
     """Apply the original conv `w` (kh, kw, ci, co; SAME padding, stride
@@ -221,13 +346,20 @@ def s2d_conv(x, w, *, stride: int = 1, in_s2d: bool = True,
     reassociation.  out_dtype overrides the output dtype (fp32 bank
     outputs for the adaptive-conv mixing — see ops/adaptive_conv.py).
     """
-    wp, pads, sigmas = scatter_kernel(
-        w.astype(x.dtype), stride=stride, in_s2d=in_s2d, out_s2d=out_s2d
-    )
-    if out_dtype == jnp.float32 and x.dtype != jnp.float32:
-        out = _scattered_conv_f32(x, wp, pads, sigmas)
+    kh, kw, ci, co = w.shape
+    if _use_blocks(kh, kw, stride, in_s2d, out_s2d, ci, co):
+        # fp32 out needs no custom VJP here: blocks are plain dots whose
+        # transposes XLA differentiates natively at any output dtype
+        out = _s2d_block_conv(x, w, out_dtype=out_dtype)
     else:
-        out = _scattered_conv(x, wp, pads, sigmas, out_dtype=out_dtype)
+        wp, pads, sigmas = scatter_kernel(
+            w.astype(x.dtype), stride=stride, in_s2d=in_s2d,
+            out_s2d=out_s2d
+        )
+        if out_dtype == jnp.float32 and x.dtype != jnp.float32:
+            out = _scattered_conv_f32(x, wp, pads, sigmas)
+        else:
+            out = _scattered_conv(x, wp, pads, sigmas, out_dtype=out_dtype)
     if bias is not None:
         b = jnp.tile(bias, F * F) if out_s2d else bias
         out = out + b.astype(out.dtype)
@@ -242,11 +374,30 @@ def dense_to_s2d(x, w_dense, bias=None):
     layout (in s2d-land the reference's space-to-depth+1×1 Downsample
     IS a Dense, reference :289-293)."""
     cin, cout = w_dense.shape
-    wp, pads, sigmas = scatter_kernel(
-        w_dense.reshape(1, 1, cin, cout).astype(x.dtype),
-        stride=1, in_s2d=False, out_s2d=True,
+    # exact-FLOPs form: the 1×1-Dense-into-s2d is literally "apply the
+    # Dense to each of the 4 polyphase sub-grids" — ONE wide-K dot on
+    # the s2d view instead of the scattered (2, 2, cin, 4cout) conv whose
+    # kernel is 3/4 structural zeros.  Round-4 device A/B
+    # (scripts/trace_s2d.py Dds*): the einsum only wins at WIDE channels
+    # (cin=256: 0.039 vs 0.063 ms); at the thin big-grid shape the
+    # polyphase view's strided access dominates and the scattered conv is
+    # 4× faster (cin=64: 0.467 vs 0.117) — so "auto" gates on cin.
+    use_einsum = (
+        cin >= 256 if _CONV_MODE == "auto" else _CONV_MODE == "blocks"
     )
-    out = _scattered_conv(x, wp, pads, sigmas)
+    if use_einsum:
+        b, r, _, _ = x.shape
+        g = r // F
+        x7 = x.reshape(b, g, F, g, F, cin)
+        out = jnp.einsum(
+            "bhywxc,cd->bhwyxd", x7, w_dense.astype(x.dtype)
+        ).reshape(b, g, g, F * F * cout)
+    else:
+        wp, pads, sigmas = scatter_kernel(
+            w_dense.reshape(1, 1, cin, cout).astype(x.dtype),
+            stride=1, in_s2d=False, out_s2d=True,
+        )
+        out = _scattered_conv(x, wp, pads, sigmas)
     if bias is not None:
         out = out + jnp.tile(bias, F * F).astype(out.dtype)
     return out

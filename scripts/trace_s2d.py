@@ -38,6 +38,15 @@ SHAPES = [
     ("DfromRGB", 16, 128, 3, 16, 3, 1, False),
 ]
 
+# (tag, b, r, cin4, cout) — dense_to_s2d (Downsample in the s2d trunk):
+# x (b, r, r, cin4) @ (cin4, cout) → (b, r/2, r/2, 4·cout).  A/B between
+# the polyphase einsum ("auto") and the scattered 2×2 conv ("conv").
+D2S_SHAPES = [
+    ("Dds256", 16, 128, 64, 32),
+    ("Dds128", 16, 64, 128, 64),
+    ("Dds64", 16, 32, 256, 128),
+]
+
 
 def build(tag, b, g, ci, co, k, stride, in_s2d, conv_mode):
     if in_s2d:
@@ -84,11 +93,56 @@ def build(tag, b, g, ci, co, k, stride, in_s2d, conv_mode):
     return run, x, w
 
 
+def build_d2s(tag, b, r, cin4, cout, conv_mode):
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (b, r, r, cin4), jnp.bfloat16
+    )
+    w = jax.random.normal(jax.random.PRNGKey(1), (cin4, cout), jnp.bfloat16)
+
+    def apply_once(x, w):
+        old = s2d._CONV_MODE
+        s2d._CONV_MODE = conv_mode
+        try:
+            return s2d.dense_to_s2d(x, w)
+        finally:
+            s2d._CONV_MODE = old
+
+    if MODE == "fwd":
+        @jax.jit
+        def run(x, w):
+            def body(c, _):
+                red = jnp.mean(apply_once(c, w).astype(jnp.float32))
+                return c + (red * 0).astype(c.dtype), ()
+            c, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return c
+    else:
+        @jax.jit
+        def run(x, w):
+            def body(c, _):
+                def loss(x, w):
+                    return jnp.sum(
+                        apply_once(x, w).astype(jnp.float32) ** 2
+                    )
+                gx, gw = jax.grad(loss, argnums=(0, 1))(c, w)
+                return c + gx.astype(c.dtype) * 0 + c * 0, ()
+            c, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return c
+    return run, x, w
+
+
 def main():
     jobs = []
     for spec in SHAPES:
-        for conv_mode in ("conv", "taps"):
+        tag, b, g, ci, co, k, stride, in_s2d = spec
+        eligible = k == 3 and stride == 1 and in_s2d  # blocks form
+        modes = ("conv", "taps", "blocks") if eligible else ("conv", "taps")
+        for conv_mode in modes:
             run, x, w = build(*spec, conv_mode)
+            jax.block_until_ready(run(x, w))  # compile
+            jobs.append((spec[0], conv_mode, run, x, w))
+    for spec in D2S_SHAPES:
+        for conv_mode in ("auto", "conv"):  # einsum vs scattered 2×2 conv
+            run, x, w = build_d2s(*spec, conv_mode)
             jax.block_until_ready(run(x, w))  # compile
             jobs.append((spec[0], conv_mode, run, x, w))
 

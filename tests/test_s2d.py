@@ -23,12 +23,14 @@ def rand(key, shape):
 
 
 class TestScatteredConv:
-    @pytest.fixture(autouse=True, params=["conv", "taps"])
+    @pytest.fixture(autouse=True, params=["conv", "taps", "blocks"])
     def _conv_mode(self, request, monkeypatch):
-        """Run every scattered-conv exactness test under BOTH execution
-        modes: the native XLA conv and the shifted-matmul ("taps")
-        lowering — same math, alternative lowerings A/B'd on hardware by
-        scripts/bench_s2d.py."""
+        """Run every scattered-conv exactness test under ALL execution
+        modes: the native XLA conv, the shifted-matmul ("taps")
+        lowering, and the exact-FLOPs block decomposition ("blocks",
+        s2d→s2d 3×3 stride-1 only — other forms fall back) — same math,
+        alternative lowerings A/B'd on hardware by scripts/bench_s2d.py
+        and scripts/trace_s2d.py."""
         monkeypatch.setattr(s2d, "_CONV_MODE", request.param)
 
     @pytest.mark.parametrize("k,ci,co", [(3, 5, 7), (1, 4, 6), (5, 3, 3)])
@@ -110,6 +112,35 @@ class TestScatteredConv:
 
         np.testing.assert_allclose(
             jax.grad(f_s2d)(w), jax.grad(f_ref)(w), rtol=1e-4, atol=1e-4
+        )
+
+    def test_gradients_f32_out_from_bf16(self):
+        """The fp32-out-from-bf16 form (adaptive bank mixing) runs under
+        a custom VJP in both the scattered and the blocks lowerings —
+        its cotangents must match the reference conv's, computed at the
+        same operand precision."""
+        x = rand(18, (2, 8, 8, 4)).astype(jnp.bfloat16)
+        w = rand(19, (3, 3, 4, 6)).astype(jnp.bfloat16)
+
+        def f_s2d(x, w):
+            y = s2d.s2d_conv(s2d.to_s2d(x), w, out_dtype=jnp.float32)
+            return jnp.sum(y ** 2)
+
+        def f_ref(x, w):
+            y = ref_conv(x, w).astype(jnp.float32)
+            return jnp.sum(s2d.to_s2d(y) ** 2)
+
+        gx, gw = jax.grad(f_s2d, argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(f_ref, argnums=(0, 1))(x, w)
+        # bf16 cotangents under different accumulation orders: allow
+        # single-ulp outliers on top of the relative band
+        np.testing.assert_allclose(
+            gx.astype(jnp.float32), rx.astype(jnp.float32),
+            rtol=0.1, atol=1.0,
+        )
+        np.testing.assert_allclose(
+            gw.astype(jnp.float32), rw.astype(jnp.float32),
+            rtol=0.1, atol=1.0,
         )
 
 
