@@ -17,6 +17,7 @@ excluded.  Prints one JSON line.
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -32,6 +33,15 @@ from gigagan_tpu.utils.profiling import enable_compile_cache
 enable_compile_cache()
 
 ITERS = 8
+# 1K->4K compiles for many minutes through the relay; gate it so the fast
+# receipts always land even if a run is cut short (INFER_4K=0 to skip)
+WITH_4K = os.environ.get("INFER_4K", "1") == "1"
+
+
+def _note(key, val):
+    """Incremental receipt: print each measurement as it lands so a
+    truncated run still leaves numbers behind."""
+    print(f"# {key} = {val}", flush=True)
 
 
 def _time(fn, *args):
@@ -105,21 +115,27 @@ def upsampler_latency(in_size, out_size, dim=32):
 
 def main():
     result = {"unit": "seconds/batch unless noted"}
+
+    def put(key, val):
+        result[key] = val
+        _note(key, val)
+
     t = synth_latency(256, 8)
-    result["synth_256px_batch8_images_per_sec"] = round(8 / t, 2)
-    result["synth_256px_batch1_latency_s"] = round(synth_latency(256, 1), 4)
-    result["synth_512px_batch1_latency_s"] = round(synth_latency(512, 1), 4)
-    result["paper_a100_512px_latency_s"] = 0.13
-    result["upsample_64_to_256_latency_s"] = round(
-        upsampler_latency(64, 256), 4
-    )
-    try:
-        result["upsample_1k_to_4k_latency_s"] = round(
-            upsampler_latency(1024, 4096), 4
-        )
-        result["paper_a100_4k_latency_s"] = 3.66
-    except Exception as e:  # noqa: BLE001 — OOM at 4K is environment-bound
-        result["upsample_1k_to_4k_latency_s"] = f"skipped: {type(e).__name__}"
+    put("synth_256px_batch8_images_per_sec", round(8 / t, 2))
+    put("synth_256px_batch1_latency_s", round(synth_latency(256, 1), 4))
+    put("synth_512px_batch1_latency_s", round(synth_latency(512, 1), 4))
+    put("paper_a100_512px_latency_s", 0.13)
+    put("upsample_64_to_256_latency_s", round(upsampler_latency(64, 256), 4))
+    if WITH_4K:
+        try:
+            put("upsample_1k_to_4k_latency_s",
+                round(upsampler_latency(1024, 4096), 4))
+            put("paper_a100_4k_latency_s", 3.66)
+        except Exception as e:  # noqa: BLE001 — OOM at 4K is env-bound
+            put("upsample_1k_to_4k_latency_s",
+                f"skipped: {type(e).__name__}")
+    else:
+        put("upsample_1k_to_4k_latency_s", "skipped: INFER_4K=0")
     print(json.dumps(result))
 
 
