@@ -95,8 +95,21 @@ def get_optimizer(
     betas=(0.9, 0.99),
     eps: float = 1e-8,
     group_wd_params: bool = True,
-    flat: bool = True,
+    flat: bool = None,
 ):
+    # Default: the per-leaf optax path.  The flat single-vector update was
+    # round 3's default, but the round-4 device A/B reversed it: the flat
+    # path's ravel concat (340-leaf), unravel slices (~4.5 ms/iter — each
+    # slice re-tiles a leaf out of the linear vector into its native
+    # layout), and tree apply total ~13 ms/iter, versus ~6 ms for the
+    # per-leaf path whose Adam chains fuse into 1-2 kernels per leaf in
+    # NATIVE layouts (end-to-end: 65.5 vs 63.3 img/s).  GIGAGAN_FLAT_OPT=1
+    # re-enables the flat path for A/Bs; it also remains the checkpoint-
+    # compatible layout older round-3 checkpoints migrate into.
+    if flat is None:
+        import os
+
+        flat = os.environ.get("GIGAGAN_FLAT_OPT", "0") == "1"
     b1, b2 = betas
     if flat:
         return flat_adamw(

@@ -869,14 +869,14 @@ class GigaGAN:
                     params = serialization.from_state_dict(
                         getattr(template, params_key), merged[params_key]
                     )
-                    candidate = _migrate_optax_to_flat(
+                    candidate = _migrate_opt_state(
                         template_sd[opt_key], restored_sd.get(opt_key),
                         params, tx,
                     )
                     if candidate is not None:
                         self.print(
-                            f"{opt_key}: migrated optax Adam moments from "
-                            "the checkpoint into the flat layout"
+                            f"{opt_key}: migrated Adam moments across "
+                            "optimizer state layouts (flat <-> optax)"
                         )
                     else:
                         self.print(
@@ -894,51 +894,80 @@ class GigaGAN:
             self._rng = jnp.asarray(np.asarray(rng))
 
 
-def _migrate_optax_to_flat(template_opt_sd, restored_opt_sd, params, tx):
-    """Map a serialized optax Adam(W) chain state ({count, mu, nu} trees)
-    into `flat_adamw`'s flat layout {count, m, v[, wd_mask]}, so resuming a
-    pre-flat checkpoint under the flat default keeps its Adam moments
-    instead of silently resetting them (ADVICE r3).  Returns the migrated
-    state-dict, or None when the shapes/structures don't line up."""
-    if not (
-        isinstance(template_opt_sd, dict)
-        and {"count", "m", "v"} <= set(template_opt_sd)
-    ):
+def _find_adam(sd):
+    """Locate the {count, mu, nu} dict inside a serialized optax chain."""
+    if not isinstance(sd, dict):
         return None
+    if {"count", "mu", "nu"} <= set(sd):
+        return sd
+    for v in sd.values():
+        found = _find_adam(v)
+        if found is not None:
+            return found
+    return None
 
-    def find_adam(sd):
-        if not isinstance(sd, dict):
-            return None
-        if {"count", "mu", "nu"} <= set(sd):
-            return sd
-        for v in sd.values():
-            found = find_adam(v)
-            if found is not None:
-                return found
-        return None
 
-    adam = find_adam(restored_opt_sd)
-    if adam is None:
-        return None
+def _is_flat_sd(sd):
+    return isinstance(sd, dict) and {"count", "m", "v"} <= set(sd)
+
+
+def _migrate_opt_state(template_opt_sd, restored_opt_sd, params, tx):
+    """Map a checkpoint's Adam moments across optimizer state layouts so a
+    resume under the other default keeps its moments instead of silently
+    resetting them (ADVICE r3): optax {count, mu, nu} trees -> flat
+    {count, m, v[, wd_mask]} (round-3 default), and flat -> optax (the
+    round-4 default after the device A/B reversed the layout choice).
+    Returns the migrated state-dict, or None when shapes/structures don't
+    line up."""
     try:
         from jax.flatten_util import ravel_pytree
 
-        mu = ravel_pytree(
-            serialization.from_state_dict(params, adam["mu"])
-        )[0]
-        nu = ravel_pytree(
-            serialization.from_state_dict(params, adam["nu"])
-        )[0]
+        if _is_flat_sd(template_opt_sd):
+            adam = _find_adam(restored_opt_sd)
+            if adam is None:
+                return None
+            mu = ravel_pytree(
+                serialization.from_state_dict(params, adam["mu"])
+            )[0]
+            nu = ravel_pytree(
+                serialization.from_state_dict(params, adam["nu"])
+            )[0]
+            fresh = serialization.to_state_dict(tx.init(params))
+            if (
+                mu.shape != np.shape(fresh["m"])
+                or nu.shape != np.shape(fresh["v"])
+            ):
+                return None
+            out = dict(fresh)
+            out["count"] = np.asarray(adam["count"], np.int32).reshape(())
+            out["m"] = np.asarray(mu, dtype=np.asarray(fresh["m"]).dtype)
+            out["v"] = np.asarray(nu, dtype=np.asarray(fresh["v"]).dtype)
+            return out
+
+        if _is_flat_sd(restored_opt_sd):
+            flat_template, unravel = ravel_pytree(params)
+            m_flat = np.asarray(restored_opt_sd["m"])
+            v_flat = np.asarray(restored_opt_sd["v"])
+            if m_flat.shape != flat_template.shape:
+                return None
+            fresh_state = tx.init(params)
+            fresh = serialization.to_state_dict(fresh_state)
+            adam = _find_adam(fresh)
+            if adam is None:
+                return None
+            adam["count"] = np.asarray(
+                restored_opt_sd["count"], np.int32
+            ).reshape(())
+            adam["mu"] = serialization.to_state_dict(
+                unravel(jnp.asarray(m_flat))
+            )
+            adam["nu"] = serialization.to_state_dict(
+                unravel(jnp.asarray(v_flat))
+            )
+            return fresh
     except (ValueError, KeyError, TypeError):
         return None
-    fresh = serialization.to_state_dict(tx.init(params))
-    if mu.shape != np.shape(fresh["m"]) or nu.shape != np.shape(fresh["v"]):
-        return None
-    out = dict(fresh)
-    out["count"] = np.asarray(adam["count"], np.int32).reshape(())
-    out["m"] = np.asarray(mu, dtype=np.asarray(fresh["m"]).dtype)
-    out["v"] = np.asarray(nu, dtype=np.asarray(fresh["v"]).dtype)
-    return out
+    return None
 
 
 def _merge_state_dicts(template, restored, skipped: list, path: str):

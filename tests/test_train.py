@@ -225,7 +225,7 @@ class TestOptimizer:
         from flax import serialization
 
         from gigagan_tpu.train.optimizer import get_optimizer
-        from gigagan_tpu.train.trainer import _migrate_optax_to_flat
+        from gigagan_tpu.train.trainer import _migrate_opt_state
 
         params = {
             "w": jnp.linspace(-1.0, 1.0, 12).reshape(3, 4),
@@ -246,7 +246,7 @@ class TestOptimizer:
                 u, s_ref = ref_tx.update(grads, s_ref, p_ref)
                 p_ref = optax.apply_updates(p_ref, u)
 
-            migrated_sd = _migrate_optax_to_flat(
+            migrated_sd = _migrate_opt_state(
                 serialization.to_state_dict(flat_tx.init(p_ref)),
                 serialization.to_state_dict(s_ref),
                 p_ref, flat_tx,
@@ -255,6 +255,16 @@ class TestOptimizer:
             s_flat = serialization.from_state_dict(
                 flat_tx.init(p_ref), migrated_sd
             )
+            # and the reverse direction (flat checkpoint under the optax
+            # default): migrating the migrated state back must round-trip
+            back_sd = _migrate_opt_state(
+                serialization.to_state_dict(ref_tx.init(p_ref)),
+                migrated_sd, p_ref, ref_tx,
+            )
+            assert back_sd is not None, f"wd={wd}"
+            s_back = serialization.from_state_dict(
+                ref_tx.init(p_ref), back_sd
+            )
             # one more step from both states must produce identical params
             key, sub = jax.random.split(key)
             grads = jax.tree.map(
@@ -262,11 +272,17 @@ class TestOptimizer:
             )
             u_ref, _ = ref_tx.update(grads, s_ref, p_ref)
             u_flat, _ = flat_tx.update(grads, s_flat, p_ref)
+            u_back, _ = ref_tx.update(grads, s_back, p_ref)
             for k in params:
                 np.testing.assert_allclose(
                     optax.apply_updates(p_ref, u_ref)[k],
                     optax.apply_updates(p_ref, u_flat)[k],
                     rtol=2e-6, atol=2e-7, err_msg=f"wd={wd} leaf={k}",
+                )
+                np.testing.assert_allclose(
+                    optax.apply_updates(p_ref, u_ref)[k],
+                    optax.apply_updates(p_ref, u_back)[k],
+                    rtol=2e-6, atol=2e-7, err_msg=f"back wd={wd} leaf={k}",
                 )
 
     def test_adam_when_no_wd(self):
