@@ -115,39 +115,39 @@ def _conv(x, w, *, stride: int, dilation: int, rank: int, out_dtype=None):
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_jvp, nondiff_argnums=(2,))
 def _conv_f32_out(x, w, cfg):
     """`_conv` with fp32 output from bf16 operands (free on the MXU, which
-    accumulates fp32 regardless).  Needs a custom VJP because XLA's conv
-    transpose cannot mix the fp32 cotangent with bf16 weights — the
-    backward casts the cotangent to the operand dtype (one benign
-    rounding) and transposes the ORDINARY operand-dtype conv."""
+    accumulates fp32 regardless).  Needs a custom rule because XLA's conv
+    transpose cannot mix an fp32 cotangent with bf16 weights.
+
+    Defined via custom_jvp (NOT custom_vjp) so the op stays closed under
+    arbitrary further differentiation (ADVICE r4 medium: the custom_vjp
+    form broke `jax.jvp`, crashing the opt-in gp_fwd_over_rev R1 path
+    under amp with adaptive convs in the D trace).  Tangents run the
+    ordinary operand-dtype conv and cast to fp32 — one benign rounding on
+    derivatives only; transposing that cast+conv reproduces exactly the
+    old backward (cotangent cast to operand dtype, operand-dtype conv
+    transpose).  Reverse mode falls out by transposition; reverse-over-
+    reverse and jvp-of-jvp recurse through this same rule."""
     stride, dilation, rank = cfg
     return _conv(x, w, stride=stride, dilation=dilation, rank=rank,
                  out_dtype=jnp.float32)
 
 
-def _conv_f32_out_fwd(x, w, cfg):
-    return _conv_f32_out(x, w, cfg), (x, w)
-
-
-def _conv_f32_out_bwd(cfg, res, g):
-    x, w = res
+@_conv_f32_out.defjvp
+def _conv_f32_out_jvp(cfg, primals, tangents):
+    x, w = primals
+    dx, dw = tangents
     stride, dilation, rank = cfg
-    g = g.astype(x.dtype)
-
-    def fx(x_):
-        return _conv(x_, w, stride=stride, dilation=dilation, rank=rank)
-
-    def fw(w_):
-        return _conv(x, w_, stride=stride, dilation=dilation, rank=rank)
-
-    (dx,) = jax.linear_transpose(fx, x)(g)
-    (dw,) = jax.linear_transpose(fw, w)(g)
-    return dx, dw
-
-
-_conv_f32_out.defvjp(_conv_f32_out_fwd, _conv_f32_out_bwd)
+    primal_out = _conv_f32_out(x, w, cfg)  # wrapped: stays rule-covered
+    dout = (
+        _conv(dx.astype(x.dtype), w, stride=stride, dilation=dilation,
+              rank=rank).astype(jnp.float32)
+        + _conv(x, dw.astype(w.dtype), stride=stride, dilation=dilation,
+                rank=rank).astype(jnp.float32)
+    )
+    return primal_out, dout
 
 
 def demod_scale(weights, scale_in, attn=None, eps: float = 1e-8):

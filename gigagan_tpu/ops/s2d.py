@@ -214,30 +214,29 @@ from functools import partial as _partial
 import jax as _jax
 
 
-@_partial(_jax.custom_vjp, nondiff_argnums=(2, 3))
+@_partial(_jax.custom_jvp, nondiff_argnums=(2, 3))
 def _scattered_conv_f32(x, wp, pads, sigmas):
     """`_scattered_conv` with fp32 output from bf16 operands (free on the
-    MXU).  Custom VJP: the conv transpose cannot mix an fp32 cotangent
-    with bf16 weights, so the backward casts the cotangent to the operand
-    dtype (one benign rounding) and transposes the operand-dtype conv."""
+    MXU).  custom_jvp, not custom_vjp, so the op is closed under arbitrary
+    further differentiation (same rationale as
+    adaptive_conv._conv_f32_out, ADVICE r4 medium): tangents run the
+    operand-dtype conv and cast to fp32; transposing that reproduces the
+    old backward (cotangent cast to operand dtype — one benign rounding)."""
     return _scattered_conv(x, wp, pads, sigmas, out_dtype=jnp.float32)
 
 
-def _scattered_conv_f32_fwd(x, wp, pads, sigmas):
-    return _scattered_conv_f32(x, wp, pads, sigmas), (x, wp)
-
-
-def _scattered_conv_f32_bwd(pads, sigmas, res, g):
-    x, wp = res
-    g = g.astype(x.dtype)
-    (dx,) = _jax.linear_transpose(
-        lambda x_: _scattered_conv(x_, wp, pads, sigmas), x)(g)
-    (dwp,) = _jax.linear_transpose(
-        lambda w_: _scattered_conv(x, w_, pads, sigmas), wp)(g)
-    return dx, dwp
-
-
-_scattered_conv_f32.defvjp(_scattered_conv_f32_fwd, _scattered_conv_f32_bwd)
+@_scattered_conv_f32.defjvp
+def _scattered_conv_f32_jvp(pads, sigmas, primals, tangents):
+    x, wp = primals
+    dx, dwp = tangents
+    primal_out = _scattered_conv_f32(x, wp, pads, sigmas)
+    dout = (
+        _scattered_conv(dx.astype(x.dtype), wp, pads, sigmas)
+        .astype(jnp.float32)
+        + _scattered_conv(x, dwp.astype(wp.dtype), pads, sigmas)
+        .astype(jnp.float32)
+    )
+    return primal_out, dout
 
 
 def _s2d_block_conv_impl(x, w, acc_dtype):
@@ -307,28 +306,28 @@ def _s2d_block_conv_impl(x, w, acc_dtype):
     return jnp.concatenate((y00, y01, y10, y11), axis=-1)
 
 
-@_partial(_jax.custom_vjp)
+@_jax.custom_jvp
 def _s2d_block_conv_f32(x, w):
     """Block conv with fp32 output from bf16 operands (for the adaptive
-    bank mixing).  Same custom-VJP rationale as `_scattered_conv_f32`."""
+    bank mixing).  Same custom-jvp rationale as `_scattered_conv_f32`:
+    closed under further differentiation, and the dot TRANSPOSES stay in
+    operand precision (an fp32 preferred type on the impl would push fp32
+    cotangents into every transposed dot — a half-rate MXU path)."""
     return _s2d_block_conv_impl(x, w, jnp.float32)
 
 
-def _s2d_block_conv_f32_fwd(x, w):
-    return _s2d_block_conv_f32(x, w), (x, w)
-
-
-def _s2d_block_conv_f32_bwd(res, g):
-    x, w = res
-    g = g.astype(x.dtype)
-    (dx,) = _jax.linear_transpose(
-        lambda x_: _s2d_block_conv_impl(x_, w, x.dtype), x)(g)
-    (dw,) = _jax.linear_transpose(
-        lambda w_: _s2d_block_conv_impl(x, w_, x.dtype), w)(g)
-    return dx, dw
-
-
-_s2d_block_conv_f32.defvjp(_s2d_block_conv_f32_fwd, _s2d_block_conv_f32_bwd)
+@_s2d_block_conv_f32.defjvp
+def _s2d_block_conv_f32_jvp(primals, tangents):
+    x, w = primals
+    dx, dw = tangents
+    primal_out = _s2d_block_conv_f32(x, w)
+    dout = (
+        _s2d_block_conv_impl(dx.astype(x.dtype), w, x.dtype)
+        .astype(jnp.float32)
+        + _s2d_block_conv_impl(x, dw.astype(w.dtype), x.dtype)
+        .astype(jnp.float32)
+    )
+    return primal_out, dout
 
 
 def _s2d_block_conv(x, w, out_dtype=None):
@@ -348,8 +347,10 @@ def s2d_conv(x, w, *, stride: int = 1, in_s2d: bool = True,
     """
     kh, kw, ci, co = w.shape
     if _use_blocks(kh, kw, stride, in_s2d, out_s2d, ci, co):
-        # fp32 out needs no custom VJP here: blocks are plain dots whose
-        # transposes XLA differentiates natively at any output dtype
+        # fp32-out bf16 inputs route through _s2d_block_conv_f32 (a
+        # custom_jvp wrapper) so the dot transposes stay in operand
+        # precision; same-dtype calls are plain dots XLA differentiates
+        # natively
         out = _s2d_block_conv(x, w, out_dtype=out_dtype)
     else:
         wp, pads, sigmas = scatter_kernel(

@@ -95,7 +95,7 @@ def get_optimizer(
     betas=(0.9, 0.99),
     eps: float = 1e-8,
     group_wd_params: bool = True,
-    flat: bool = None,
+    flat: bool | None = None,
 ):
     # Default: the per-leaf optax path.  The flat single-vector update was
     # round 3's default, but the round-4 device A/B reversed it: the flat

@@ -141,7 +141,11 @@ def main():
             jax.block_until_ready(run(x, w))  # compile
             jobs.append((spec[0], conv_mode, run, x, w))
     for spec in D2S_SHAPES:
-        for conv_mode in ("auto", "conv"):  # einsum vs scattered 2×2 conv
+        # "blocks" FORCES the polyphase einsum so every shape gets a real
+        # A/B ("auto" only selects the einsum at cin>=256, which made the
+        # narrow-cin rows compare the scattered conv against itself —
+        # ADVICE r4)
+        for conv_mode in ("blocks", "conv"):  # einsum vs scattered 2×2 conv
             run, x, w = build_d2s(*spec, conv_mode)
             jax.block_until_ready(run(x, w))  # compile
             jobs.append((spec[0], conv_mode, run, x, w))

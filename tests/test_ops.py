@@ -90,6 +90,60 @@ class TestAdaptiveConv:
             assert jnp.all(jnp.isfinite(g))
             assert float(jnp.abs(g).max()) > 0
 
+    @pytest.mark.parametrize("s2d", [False, True])
+    def test_bf16_adaptive_conv_jvp_capable(self, s2d):
+        """ADVICE r4 medium: the fp32-out conv wrappers (bf16 operands,
+        adaptive bank mixing) must be FORWARD-mode differentiable — the
+        opt-in gp_fwd_over_rev R1 path traces jax.jvp through every D
+        conv.  Checks jvp/vjp consistency ⟨∂f·t, g⟩ == ⟨t, ∂fᵀ·g⟩ and
+        that grad-of-jvp (the hvp structure the GP uses) traces."""
+        keys = jax.random.split(jax.random.PRNGKey(5), 6)
+        b, r, ci, co = 2, 8, 4, 4
+        cin = 4 * ci if s2d else ci
+        x = rand(keys[0], b, r, r, cin).astype(jnp.bfloat16)
+        weights = (rand(keys[1], 2, 3, 3, ci, co) * 0.2).astype(
+            jnp.bfloat16
+        )
+        mod = rand(keys[2], b, ci)
+        kmod = rand(keys[3], b, 2)
+
+        def f(x):
+            return adaptive_conv(
+                x, weights, mod, kmod, use_pallas=False,
+                in_s2d=s2d, out_s2d=s2d,
+            ).astype(jnp.float32)
+
+        t = rand(keys[4], *x.shape).astype(jnp.bfloat16)
+        y, dy = jax.jvp(f, (x,), (t,))
+        assert jnp.all(jnp.isfinite(dy)) and float(
+            jnp.abs(dy).max()
+        ) > 0
+        g = rand(keys[5], *y.shape)
+        y2, vjp_fn = jax.vjp(f, x)
+        (ct,) = vjp_fn(g)
+        np.testing.assert_allclose(
+            float(jnp.vdot(dy, g)),
+            float(jnp.vdot(ct.astype(jnp.float32),
+                           t.astype(jnp.float32))),
+            rtol=2e-2,
+        )
+
+        # the gp_fwd_over_rev structure: grad of a jvp-derived scalar
+        def hvp_scalar(w):
+            def phi(x):
+                return jnp.sum(
+                    adaptive_conv(
+                        x, w, mod, kmod, use_pallas=False,
+                        in_s2d=s2d, out_s2d=s2d,
+                    ).astype(jnp.float32) ** 2
+                )
+
+            _, dphi = jax.jvp(phi, (x,), (t,))
+            return dphi
+
+        gw = jax.grad(hvp_scalar)(weights)
+        assert jnp.all(jnp.isfinite(gw.astype(jnp.float32)))
+
 
 class TestAttention:
     def test_dot_product_matches_naive(self):

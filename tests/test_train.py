@@ -393,49 +393,95 @@ class TestTrainLoop:
         gan.save(ckpt)
         assert ckpt.exists()
 
-    def test_load_migrates_optax_opt_state(self, trained):
-        """Loading a pre-flat checkpoint (optax Adam chain layout) must
-        carry the Adam moments into the flat optimizer state instead of
-        resetting them (ADVICE r3 medium)."""
+    @staticmethod
+    def _adam_sd(opt_sd):
+        """Locate the serialized {count, mu, nu} inside an optax chain
+        state-dict (layout: {"0": ScaleByAdamState, "1": EmptyState})."""
+        from gigagan_tpu.train.trainer import _find_adam
+
+        found = _find_adam(opt_sd)
+        assert found is not None, f"no adam state in {set(opt_sd)}"
+        return found
+
+    def test_load_migrates_flat_to_optax_opt_state(self, trained):
+        """Loading a round-3 FLAT checkpoint ({count, m, v}) under the
+        optax default must carry the Adam moments into the optax chain
+        layout instead of resetting them (ADVICE r3 medium; the trainer
+        implements both directions, trainer._migrate_opt_state)."""
         from flax import serialization
         from jax.flatten_util import ravel_pytree
 
         gan, tmp = trained
-        ckpt = tmp / "optaxmigrate.ckpt"
+        ckpt = tmp / "flatmigrate.ckpt"
         gan.save(ckpt)
         payload = serialization.msgpack_restore(ckpt.read_bytes())
-        flat_opt = payload["state"]["g_opt"]
-        assert {"count", "m", "v"} <= set(flat_opt)
-        # rewrite g_opt into the optax chain layout an old checkpoint had:
-        # (ScaleByAdamState{count, mu, nu}, EmptyState)
+        adam = self._adam_sd(payload["state"]["g_opt"])
         params = jax.device_get(gan.state.g_params)
-        _, unravel = ravel_pytree(params)
+        mu_flat = ravel_pytree(
+            serialization.from_state_dict(params, adam["mu"])
+        )[0]
+        nu_flat = ravel_pytree(
+            serialization.from_state_dict(params, adam["nu"])
+        )[0]
+        # rewrite g_opt into the flat layout a round-3 checkpoint had
         payload["state"]["g_opt"] = {
-            "0": {
-                "count": flat_opt["count"],
-                "mu": serialization.to_state_dict(
-                    unravel(jnp.asarray(flat_opt["m"]))
-                ),
-                "nu": serialization.to_state_dict(
-                    unravel(jnp.asarray(flat_opt["v"]))
-                ),
-            },
-            "1": {},
+            "count": adam["count"],
+            "m": np.asarray(mu_flat),
+            "v": np.asarray(nu_flat),
         }
         ckpt.write_bytes(serialization.msgpack_serialize(payload))
 
         gan2 = tiny_gan(tmp, seed=123)
         gan2.load(ckpt)
+        migrated = self._adam_sd(
+            serialization.to_state_dict(jax.device_get(gan2.state.g_opt))
+        )
+        np.testing.assert_allclose(
+            np.asarray(ravel_pytree(
+                serialization.from_state_dict(params, migrated["mu"])
+            )[0]),
+            np.asarray(mu_flat), rtol=1e-6, atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ravel_pytree(
+                serialization.from_state_dict(params, migrated["nu"])
+            )[0]),
+            np.asarray(nu_flat), rtol=1e-6, atol=0,
+        )
+        assert int(np.asarray(migrated["count"])) == int(
+            np.asarray(adam["count"])
+        )
+
+    def test_load_migrates_optax_to_flat_opt_state(self, trained,
+                                                   monkeypatch):
+        """The reverse direction: an optax-layout checkpoint loaded under
+        GIGAGAN_FLAT_OPT=1 lands its moments in the flat {count, m, v}
+        state."""
+        from flax import serialization
+        from jax.flatten_util import ravel_pytree
+
+        gan, tmp = trained
+        ckpt = tmp / "optaxmigrate.ckpt"
+        gan.save(ckpt)  # optax layout (the default)
+        payload = serialization.msgpack_restore(ckpt.read_bytes())
+        adam = self._adam_sd(payload["state"]["g_opt"])
+        params = jax.device_get(gan.state.g_params)
+        mu_flat = ravel_pytree(
+            serialization.from_state_dict(params, adam["mu"])
+        )[0]
+
+        monkeypatch.setenv("GIGAGAN_FLAT_OPT", "1")
+        gan2 = tiny_gan(tmp, seed=123)
+        gan2.load(ckpt)
         migrated = jax.device_get(gan2.state.g_opt)
+        assert {"count", "m", "v"} <= set(migrated)
         np.testing.assert_allclose(
-            np.asarray(migrated["m"]), np.asarray(flat_opt["m"]),
+            np.asarray(migrated["m"]), np.asarray(mu_flat),
             rtol=1e-6, atol=0,
         )
-        np.testing.assert_allclose(
-            np.asarray(migrated["v"]), np.asarray(flat_opt["v"]),
-            rtol=1e-6, atol=0,
+        assert int(np.asarray(migrated["count"])) == int(
+            np.asarray(adam["count"])
         )
-        assert int(migrated["count"]) == int(flat_opt["count"])
 
     def test_tolerant_load_resets_incompatible_optimizer(self, trained):
         from flax import serialization
@@ -794,6 +840,28 @@ class TestConditionalTraining:
         gan.set_dataloader(ds.get_dataloader(8))
         gan.forward(steps=2, grad_accum_every=1)
         assert gan.steps == 3
+
+    def test_amp_gp_fwd_over_rev_with_adaptive_convs(self, tmp_path):
+        """amp=True + apply_gradient_penalty + gp_fwd_over_rev with
+        adaptive convs in the GP trace (conditional D Predictor heads):
+        jax.jvp must flow through the bf16 fp32-out conv wrappers
+        (ADVICE r4 medium — they are custom_jvp, closed under further
+        differentiation)."""
+        gan = conditional_gan(
+            tmp_path, amp=True, gp_fwd_over_rev=True,
+        )
+        ds = MockTextImageDataset(IMAGE_SIZE, length=32)
+        batch = gan._collect_batch(iter(ds.get_dataloader(8)), 1)
+        m = gan.train_discriminator_step(
+            batch, grad_accum_every=1,
+            apply_gradient_penalty=True, calc_multiscale_loss=True,
+        )
+        assert np.isfinite(float(m["gradient_penalty"]))
+        finite = jax.tree.map(
+            lambda x: bool(jnp.isfinite(x.astype(jnp.float32)).all()),
+            jax.device_get(gan.state.d_params),
+        )
+        assert all(jax.tree.leaves(finite))
 
     def test_clip_dim_override(self, tmp_path):
         """text_encodings of a non-default width (clip_dim=24, not CLIP's
