@@ -37,6 +37,7 @@ A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE = 30.0
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 GP_CHUNK = os.environ.get("BENCH_GP_CHUNK")
 GP_FOR = os.environ.get("BENCH_GP_FOR", "0") == "1"
+FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 SKIP_UPSAMPLER = os.environ.get("BENCH_UPSAMPLER", "1") == "0"
 STEPS_TIMED = 16  # 4 GP-cadence periods: ±1.5% run-to-run at 8 was visible
 
@@ -132,6 +133,13 @@ def _measure():
 
     def one_iter(i, apply_gp):
         batch = batches[i % len(batches)]
+        if FUSED:
+            gan.train_dg_step(
+                batch, grad_accum_every=1,
+                apply_gradient_penalty=apply_gp,
+                calc_multiscale_loss=True,
+            )
+            return
         gan.train_discriminator_step(
             batch, grad_accum_every=1,
             apply_gradient_penalty=apply_gp, calc_multiscale_loss=True,

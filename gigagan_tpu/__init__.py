@@ -50,7 +50,11 @@ def __getattr__(name):
         data = importlib.import_module("gigagan_tpu.data")
 
         return getattr(data, name)
-    if name in ("models", "data", "train"):
+    if name in ("QualityEvaluator", "frechet_distance", "clip_score"):
+        ev = importlib.import_module("gigagan_tpu.eval")
+
+        return getattr(ev, name)
+    if name in ("models", "data", "train", "eval"):
         return importlib.import_module(f"gigagan_tpu.{name}")
     raise AttributeError(f"module 'gigagan_tpu' has no attribute {name!r}")
 
@@ -68,6 +72,7 @@ __all__ = [
     "ImageDataset",
     "TextImageDataset",
     "MockTextImageDataset",
+    "QualityEvaluator",
     "losses",
     "ops",
     "parallel",

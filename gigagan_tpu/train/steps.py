@@ -357,9 +357,20 @@ class TrainStepBuilder:
                 flash_so_mode,
             )
 
+            # has_aux: the aux-recon losses stay OUT of the vjp's cotangent
+            # space, so the R1 input-gradient backward (and its double-
+            # backward) never traverses the SimpleDecoder branch — exactly
+            # the graph torch's autograd.grad(outputs=[logits, *ms])
+            # differentiates (reference :2357-2372).  aux_losses remain
+            # ordinary traced values, so their PARAMETER gradients still
+            # flow through the outer value_and_grad.
+            def d_on_pair_main(r, f):
+                lg, msl, aux = d_on_pair(r, f)
+                return (lg, msl), aux
+
             with flash_so_mode():
-                (logits, ms, aux_losses), pair_vjp = jax.vjp(
-                    d_on_pair, real_images, fake_aug
+                (logits, ms), pair_vjp, aux_losses = jax.vjp(
+                    d_on_pair_main, real_images, fake_aug, has_aux=True
                 )
         else:
             # common path: ONE batched D call for [real; fake] halves the
@@ -418,14 +429,19 @@ class TrainStepBuilder:
                 # double-backward.  Weighted cotangents reproduce the
                 # reference's grad_outputs ([1, ms_w, ...]; aux excluded).
                 frozen_d = lax.stop_gradient(d_params)
-                _, sg_vjp = jax.vjp(
-                    functools.partial(d_on_pair, params=frozen_d),
-                    real_images, fake_aug,
+
+                def d_on_pair_frozen(r, f):
+                    lg, msl, aux = d_on_pair(r, f, params=frozen_d)
+                    return (lg, msl), aux
+
+                # has_aux: keep the aux-recon branch out of the R1
+                # backward (see the reverse-over-reverse path above)
+                _, sg_vjp, _ = jax.vjp(
+                    d_on_pair_frozen, real_images, fake_aug, has_aux=True
                 )
                 cot_logits = jnp.ones_like(logits)
                 cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms]
-                cot_aux = [jnp.zeros_like(a) for a in aux_losses]
-                v_real, v_fake = sg_vjp((cot_logits, cot_ms, cot_aux))
+                v_real, v_fake = sg_vjp((cot_logits, cot_ms))
                 gp_value = 10.0 * (
                     jnp.mean(sample_sq_norms(v_real))
                     + jnp.mean(sample_sq_norms(v_fake))
@@ -465,11 +481,11 @@ class TrainStepBuilder:
                     gp_value + surrogate - lax.stop_gradient(surrogate)
                 )
             elif self.gp_chunk is None:
-                # reverse-over-reverse (torch create_graph equivalent)
+                # reverse-over-reverse (torch create_graph equivalent);
+                # aux is outside the cotangent space (has_aux above)
                 cot_logits = jnp.ones_like(logits)
                 cot_ms = [jnp.ones_like(m) * self.ms_w for m in ms]
-                cot_aux = [jnp.zeros_like(a) for a in aux_losses]
-                g_real, g_fake = pair_vjp((cot_logits, cot_ms, cot_aux))
+                g_real, g_fake = pair_vjp((cot_logits, cot_ms))
                 gp_loss = 10.0 * (
                     jnp.mean(sample_sq_norms(g_real))
                     + jnp.mean(sample_sq_norms(g_fake))

@@ -111,6 +111,9 @@ class GigaGAN:
         # measured ~2% slower than split steps on v5e via the axon relay)
         seed: int = 42,
         mesh=None,
+        log_hook=None,  # callable(record: dict) invoked on every logging
+        # step with {"step", losses..., "ms_per_step", "images_per_sec"} —
+        # curve recording for health runs / external trackers
     ):
         self.train_upsampler = train_upsampler
         compute_dtype = jnp.bfloat16 if amp else jnp.float32
@@ -258,6 +261,7 @@ class GigaGAN:
 
         # sampling / checkpointing
         self.fused_dg_step = fused_dg_step
+        self.log_hook = log_hook
         self.save_and_sample_every = save_and_sample_every
         self.early_save_thres_steps = early_save_thres_steps
         self.early_save_and_sample_every = early_save_and_sample_every
@@ -627,6 +631,15 @@ class GigaGAN:
                     + " | ".join(f"{k}: {v:.2f}" for k, v in pairs)
                     + f" | {self.step_timer.summary(real_batch_size(d_batch))}"
                 )
+                if exists(self.log_hook):
+                    bs = real_batch_size(d_batch)
+                    self.log_hook({
+                        "step": step,
+                        **{k: v for k, v in pairs},
+                        "ms_per_step": self.step_timer.mean_s * 1e3,
+                        "images_per_sec":
+                            self.step_timer.images_per_sec(bs),
+                    })
 
             if self.is_main and (
                 is_first
