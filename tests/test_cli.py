@@ -12,6 +12,9 @@ import pytest
 
 from gigagan_tpu.cli import main
 
+# end-to-end CLI train loops are compile-bound (~15 min on one CPU core)
+pytestmark = pytest.mark.slow
+
 TINY = {
     # smallest config that exercises the full CLI surface: 16px, no attn
     # (attention is covered extensively elsewhere), one multiscale input,

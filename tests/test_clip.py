@@ -456,6 +456,7 @@ class TestVisionAidedDiscriminator:
         assert len(flat) == 1 and flat[0].shape == (24, 24)
 
 
+@pytest.mark.slow
 class TestFullConditionalTraining:
     def test_all_losses_live(self, adapter, tmp_path):
         """The complete conditional loss surface in one training step:
@@ -540,6 +541,7 @@ class TestFullConditionalTraining:
         assert g["contrastive_loss"] != 0.0
 
 
+@pytest.mark.slow
 class TestContrastivePoolAcrossAccumulation:
     """The CLIP contrastive pool must span the FULL gradient accumulation
     (reference retain_graph pool, gigagan_pytorch.py:2583-2592).  At

@@ -249,6 +249,7 @@ class TestFlashAttention:
             )
 
 
+@pytest.mark.slow
 class TestFlashSecondOrder:
     """The grad-of-jvp (hvp) kernel pair (ops/pallas/flash_attention_hv)
     must match XLA autodiff exactly: jvp outputs AND the reverse of the
@@ -524,6 +525,7 @@ class TestFusedHeadsAttention:
                 err_msg=f"d{name} mismatch",
             )
 
+@pytest.mark.slow
 class TestSecondOrderFusedAttention:
     """The differentiation-closed fused-heads family
     (ops/pallas/flash_attention_so): forward, first-order backward

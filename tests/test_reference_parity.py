@@ -718,6 +718,7 @@ def port_upsampler_params(ref_u, template):
     return jax.tree.map(jnp.asarray, params)
 
 
+@pytest.mark.slow
 class TestUpsamplerParity:
     def test_full_forward_matches_reference(self, ref):
         from gigagan_pytorch.unet_upsampler import UnetUpsampler as RefUp

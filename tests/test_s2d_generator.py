@@ -4,8 +4,12 @@ plain-layout path — including the per-pixel noise stream."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gigagan_tpu.models.generator import Generator
+
+# full-model s2d-vs-plain equivalence (fwd + grads) is compile-bound
+pytestmark = pytest.mark.slow
 
 
 def build(s2d_trunk):

@@ -4,8 +4,12 @@ reassociation) as the plain-layout trunk."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gigagan_tpu.models.discriminator import Discriminator
+
+# full-model s2d-vs-plain equivalence (fwd + grads) is compile-bound
+pytestmark = pytest.mark.slow
 
 
 def build(s2d_trunk, **over):

@@ -308,6 +308,7 @@ class TestOptimizer:
         assert float(jnp.abs(updates["b"]).sum()) == 0  # masked
 
 
+@pytest.mark.slow
 class TestTrainLoop:
     @pytest.fixture(scope="class")
     def trained(self, tmp_path_factory):
@@ -799,6 +800,7 @@ def conditional_gan(tmp_path, **overrides):
     return GigaGAN(**kwargs)
 
 
+@pytest.mark.slow
 class TestConditionalTraining:
     def test_text_conditioned_steps_run(self, tmp_path):
         clip_dim = STUB_CLIP_DIM
@@ -909,6 +911,7 @@ class TestConditionalTraining:
         assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 class TestAccumulationPools:
     """mb=1 degeneracy fixes: the matching-aware text roll and the CLIP
     contrastive pool must span the FULL accumulated set, like the
@@ -1025,6 +1028,7 @@ class TestAccumulationPools:
             step(gan.state, batch, jax.random.PRNGKey(0), gan._frozen)
 
 
+@pytest.mark.slow
 class TestUpsamplerTraining:
     def test_upsampler_train_and_generate(self, tmp_path):
         gan = GigaGAN(
@@ -1093,6 +1097,7 @@ class TestUpsamplerTraining:
             )
 
 
+@pytest.mark.slow
 class TestOrbaxCheckpoint:
     def test_orbax_roundtrip(self, tmp_path):
         gan = tiny_gan(tmp_path, checkpoint_backend="orbax")

@@ -73,6 +73,7 @@ class TestUnetUpsamplerImage:
         assert out.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 class TestUnetUpsamplerVideo:
     @pytest.fixture(scope="class")
     def model(self):
