@@ -710,18 +710,35 @@ class TrainStepBuilder:
                 )
                 return (_tree_add(grads_acc, grads), metrics), None
 
-            zero_metrics = dict(
-                divergence=0.0, multiscale_divergence=0.0,
-                vision_aided_divergence=0.0, matching_aware_loss=0.0,
-                gradient_penalty=0.0, aux_reconstruction=0.0,
-            )
-            zero_metrics = jax.tree.map(jnp.asarray, zero_metrics)
-            (grads, metrics), _ = lax.scan(
-                body,
-                (_tree_zeros_like(trainable), zero_metrics),
-                (real, text_stack, embed_stack, rolled_stack, keys),
-            )
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            if accum == 1:
+                # grad-accum 1 (the quickstart/bench path): call the
+                # micro-loss directly — a length-1 lax.scan still pays
+                # stack/slice/copy traffic on every carry leaf (~300-leaf
+                # grad trees; part of the ~10 ms/iter copy bucket in the
+                # round-5 device trace), and the zero-init + add of the
+                # grads carry is a full extra pass over both param trees
+                (_, metrics), grads = grad_fn(
+                    trainable, state.g_params, state.vd_buffers, frozen,
+                    real[0],
+                    text_stack[0] if not self.unconditional else None,
+                    embed_stack[0]
+                    if self.need_vd or self.need_contrastive else None,
+                    rolled_stack[0] if want_matching else None,
+                    keys[0],
+                )
+            else:
+                zero_metrics = dict(
+                    divergence=0.0, multiscale_divergence=0.0,
+                    vision_aided_divergence=0.0, matching_aware_loss=0.0,
+                    gradient_penalty=0.0, aux_reconstruction=0.0,
+                )
+                zero_metrics = jax.tree.map(jnp.asarray, zero_metrics)
+                (grads, metrics), _ = lax.scan(
+                    body,
+                    (_tree_zeros_like(trainable), zero_metrics),
+                    (real, text_stack, embed_stack, rolled_stack, keys),
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
 
             updates, d_opt = self.d_tx.update(
                 grads["d"], state.d_opt, state.d_params
@@ -911,20 +928,34 @@ class TrainStepBuilder:
                 )
                 return (_tree_add(grads_acc, grads), metrics), None
 
-            zero_metrics = dict(
-                divergence=0.0, multiscale_divergence=0.0,
-                total_vd_divergence=0.0, contrastive_loss=0.0,
-            )
-            zero_metrics = jax.tree.map(jnp.asarray, zero_metrics)
-            xs = (real, text_stack, embed_stack, keys)
-            if pool_accum:
-                xs = xs + (pool_grads, pool_values)
-            (grads, metrics), _ = lax.scan(
-                body,
-                (_tree_zeros_like(state.g_params), zero_metrics),
-                xs,
-            )
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            if accum == 1:
+                # grad-accum 1: bypass the length-1 scan (see the d step);
+                # pool_accum is structurally False here, so the micro-loss
+                # computes the full contrastive pool inline when needed
+                (_, metrics), grads = grad_fn(
+                    state.g_params, state.d_params, state.vd_params,
+                    state.vd_buffers, frozen,
+                    real[0],
+                    text_stack[0] if not self.unconditional else None,
+                    embed_stack[0]
+                    if self.need_vd or self.need_contrastive else None,
+                    keys[0], None, None,
+                )
+            else:
+                zero_metrics = dict(
+                    divergence=0.0, multiscale_divergence=0.0,
+                    total_vd_divergence=0.0, contrastive_loss=0.0,
+                )
+                zero_metrics = jax.tree.map(jnp.asarray, zero_metrics)
+                xs = (real, text_stack, embed_stack, keys)
+                if pool_accum:
+                    xs = xs + (pool_grads, pool_values)
+                (grads, metrics), _ = lax.scan(
+                    body,
+                    (_tree_zeros_like(state.g_params), zero_metrics),
+                    xs,
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
             updates, g_opt = self.g_tx.update(
                 grads, state.g_opt, state.g_params
             )
