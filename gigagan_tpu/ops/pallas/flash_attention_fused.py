@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +53,27 @@ from gigagan_tpu.ops.pallas.flash_attention import (
 # q-chunk VMEM budgets (bytes per (chunk, nk) fp32 intermediate, divided
 # by the head-group width); module-level so scripts/bench_so.py-style
 # sweeps can tune them on hardware.
-_FWD_BUDGET = 4 * 1024 * 1024
+_FWD_BUDGET = int(_os.environ.get("GIGAGAN_FA_FWD_BUDGET",
+                                  8 * 1024 * 1024))
+
+
+def mosaic_params():
+    """Shared Mosaic compiler params for the flash family.  Mosaic's
+    default scoped-VMEM limit is 16M — tight enough that the round-3
+    budget sweep had to stop at chunk sizes well below the kernels'
+    bandwidth sweet spots.  Raising the per-kernel limit to 64M (v5e has
+    128M physical VMEM) let the round-5 sweep double every chunk budget:
+    the second-order adjoint dropped 15.3 → 11.9 ms and the fused
+    backward 7.3 → 6.7 ms at the D's batch-expanded (48, 1024, 8, 64)
+    shape; 96M was flat vs 64M.  The client-side XLA_FLAGS parser
+    rejects --xla_tpu_scoped_vmem_limit_kib under the remote-compile
+    relay, so pltpu.CompilerParams is the only working channel.
+    GIGAGAN_PALLAS_VMEM_LIMIT overrides; 0 restores the Mosaic default."""
+    lim = int(_os.environ.get("GIGAGAN_PALLAS_VMEM_LIMIT",
+                              64 * 1024 * 1024))
+    if lim <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=lim)
 
 
 def head_group(heads: int, d: int):
@@ -240,6 +261,7 @@ def _fwd_impl(q, k, v, null_kv, heads, l2_dist, scale, interpret):
             jax.ShapeDtypeStruct((b, hb, hg, nq_pad), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(qp, k_pre, vp, bias, nullk_pre, nullv, null_bias)
     return out[:, :nq0], (out, lse)
 

@@ -70,6 +70,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gigagan_tpu.ops.pallas.adaptive_conv import pallas_supported
 from gigagan_tpu.ops.pallas.flash_attention import _q_chunks, flash_auto
+from gigagan_tpu.ops.pallas.flash_attention_fused import mosaic_params
 from gigagan_tpu.ops.pallas.flash_attention_fused import (
     _fwd_impl,
     _prep_fused,
@@ -123,8 +125,14 @@ def flash_so_auto(q, k, heads: int) -> bool:
 # bwd_sc 6.9 → 4.5ms at 4M (chunk 512; 8M = whole-nq chunks OOMs scoped
 # VMEM at 22.3M/16M), bwd2 20.9 → 12.1ms at 1M (chunk 128; 2M OOMs — the
 # adjoint holds ~14 live (chunk, nk) fp32 temporaries per unrolled head).
-_BWD_BUDGET = 4 * 1024 * 1024
-_BWD2_BUDGET = 1024 * 1024
+# defaults re-swept in round 5 under the raised 64M per-kernel VMEM
+# limit (mosaic_params in flash_attention_fused.py); at the old 16M
+# Mosaic default the sweet spots were 4M/1M (2M already OOMed scoped
+# VMEM for the adjoint's ~14 live (chunk, nk) fp32 temporaries)
+_BWD_BUDGET = int(_os.environ.get("GIGAGAN_SO_BWD_BUDGET",
+                                  8 * 1024 * 1024))
+_BWD2_BUDGET = int(_os.environ.get("GIGAGAN_SO_BWD2_BUDGET",
+                                   4 * 1024 * 1024))
 
 _NT = (((1,), (1,)), ((), ()))  # x yᵀ  (contract last dims)
 _NN = (((1,), (0,)), ((), ()))  # x y
@@ -528,6 +536,7 @@ def _bwd_sc_impl(q, k, v, null_kv, g, lse, heads, l2_dist, scale, interpret):
             pltpu.VMEM((hg, 1, 1), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(qp, k_pre, vp, bias, nullk_pre, nullv, null_bias, gp, lse)
 
     dq = dq[:, :nq].astype(q.dtype)
@@ -656,6 +665,7 @@ def _bwd_so_bwd(heads, l2_dist, scale, interpret, residuals, cots):
             pltpu.VMEM((hg, 1, 1), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(qp, k_pre, vp, bias, nullk_pre, nullv, null_bias,
       gp, cap, cbp, ccp, negw, cbnp, ccn, negwn, lse)
 
