@@ -37,7 +37,6 @@ from typing import Any, Dict, List, Literal, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-from einops import rearrange
 from flax import linen as nn
 
 from gigagan_tpu import ops
@@ -52,7 +51,7 @@ from gigagan_tpu.models.layers import (
     conv1x1,
     conv3x3,
 )
-from gigagan_tpu.ops import attend_fused, linear_attend
+from gigagan_tpu.ops import attend_fused, linear_attend_fused
 from gigagan_tpu.utils import ModTable, default, exists, is_power_of_two
 
 Dtype = Any
@@ -215,12 +214,15 @@ class LinearAttention2D(nn.Module):
         qkv = conv1x1(hidden * 3, use_bias=False, dtype=self.dtype,
                       name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (
-            rearrange(t, "b x y (h d) -> b h (x y) d", h=self.heads)
-            for t in (q, k, v)
+        # fused-heads layout: the (b,x,y,H·d)→(b,H,n,d) relayout is a full
+        # transposed copy — a ~240MB VMEM fusion at the 4K upsampler's
+        # 512² stage (over v5e's 128MB physical VMEM; the 1K→4K compile
+        # blocker).  linear_attend_fused slices heads off the last dim.
+        q, k, v = (t.reshape(b, h * w, hidden) for t in (q, k, v))
+        out = linear_attend_fused(
+            q, k, v, heads=self.heads, scale=self.dim_head ** -0.5
         )
-        out = linear_attend(q, k, v, scale=self.dim_head ** -0.5)
-        out = rearrange(out, "b h (x y) d -> b x y (h d)", x=h, y=w)
+        out = out.reshape(b, h, w, hidden)
         out = conv1x1(self.dim, dtype=self.dtype, name="to_out")(out)
         return RMSNorm(self.dim, dtype=self.dtype, name="out_norm")(out)
 

@@ -4,7 +4,12 @@ from gigagan_tpu.ops.adaptive_conv import (
     kernel_gram,
 )
 from gigagan_tpu.ops import s2d
-from gigagan_tpu.ops.attention import attend, attend_fused, linear_attend
+from gigagan_tpu.ops.attention import (
+    attend,
+    attend_fused,
+    linear_attend,
+    linear_attend_fused,
+)
 from gigagan_tpu.ops.resample import (
     blur_2d,
     blur_3d,
@@ -22,6 +27,7 @@ __all__ = [
     "attend",
     "attend_fused",
     "linear_attend",
+    "linear_attend_fused",
     "blur_2d",
     "blur_3d",
     "upsample_2x",

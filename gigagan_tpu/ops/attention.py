@@ -206,3 +206,47 @@ def linear_attend(q, k, v, *, scale=None):
     out = jnp.einsum("bhde,bhnd->bhne", context.astype(q.dtype),
                      qf.astype(q.dtype), preferred_element_type=jnp.float32)
     return out.astype(out_dtype)
+
+
+def linear_attend_fused(q, k, v, *, heads, scale=None):
+    """`linear_attend` in the network's native fused-heads layout.
+
+    q, k, v: (b, n, H·d).  The (b, x, y, H·d) → (b, H, n, d) einops
+    relayout that the (b, h, n, d) form requires materializes a full
+    transposed copy — at the 4K upsampler's 512² linear-attention stage
+    that single transpose is a ~240 MB VMEM fusion, over the 128 MB
+    physical VMEM of a v5e (the observed 1K→4K compile blocker).  Here
+    every head is a LAST-dim slice and both contractions are native MXU
+    forms on (n, d) panels: context = kᵀv contracts over n (the standard
+    weight-gradient matmul shape — no transpose materialized) and
+    out = q·context contracts over d.  Cost stays O(n·d²) per head.
+    """
+    b, n, hd = q.shape
+    assert hd % heads == 0, (hd, heads)
+    d = hd // heads
+    if scale is None:
+        scale = d ** -0.5
+    out_dtype = q.dtype
+
+    def head(t, i):
+        return lax.slice_in_dim(t, i * d, (i + 1) * d, axis=-1)
+
+    outs = []
+    for i in range(heads):
+        qh = jax.nn.softmax(head(q, i).astype(jnp.float32), axis=-1) * scale
+        kh = jax.nn.softmax(head(k, i).astype(jnp.float32), axis=-2)
+        vh = head(v, i)
+        # (b, n, d)ᵀ(b, n, e) → (b, d, e): contraction over n
+        context = lax.dot_general(
+            kh.astype(vh.dtype), vh,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # (b, n, d)·(b, d, e) → (b, n, e)
+        out = lax.dot_general(
+            qh.astype(out_dtype), context.astype(out_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(out.astype(out_dtype))
+    return jnp.concatenate(outs, axis=-1)

@@ -186,6 +186,33 @@ class TestAttention:
         assert out.shape == (2, 4, 64, 32)
         assert jnp.all(jnp.isfinite(out))
 
+    def test_linear_attention_fused_matches_headed(self):
+        """linear_attend_fused (native fused-heads layout, per-head
+        last-dim slices — the transpose-free form that unblocks the 4K
+        upsampler compile) must equal linear_attend on the transposed
+        layout."""
+        b, h, n, d = 2, 4, 64, 32
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = rand(keys[0], b, n, h * d)
+        k = rand(keys[1], b, n, h * d)
+        v = rand(keys[2], b, n, h * d)
+
+        def to_headed(t):
+            return jnp.moveaxis(t.reshape(b, n, h, d), 2, 1)
+
+        fused = ops.linear_attend_fused(q, k, v, heads=h)
+        headed = ops.linear_attend(to_headed(q), to_headed(k), to_headed(v))
+        headed = jnp.moveaxis(headed, 1, 2).reshape(b, n, h * d)
+        np.testing.assert_allclose(fused, headed, rtol=2e-5, atol=2e-5)
+
+        # grads agree too (the upsampler trains through this op)
+        gf = jax.grad(lambda a: jnp.sum(
+            ops.linear_attend_fused(a, k, v, heads=h) ** 2))(q)
+        gh = jax.grad(lambda a: jnp.sum(
+            ops.linear_attend(to_headed(a), to_headed(k),
+                              to_headed(v)) ** 2))(q)
+        np.testing.assert_allclose(gf, gh, rtol=2e-4, atol=2e-5)
+
 
 class TestResample:
     def test_blur_preserves_constant(self):
