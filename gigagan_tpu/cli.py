@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -223,6 +224,55 @@ def _cmd_generate(args):
     return 0
 
 
+def _cmd_evaluate(args):
+    """CLIP-FID (+ optional grid) for a trained model folder — the
+    FID-substitute quality metric (gigagan_tpu/eval.py; the reference's
+    FID TODO is unchecked, its README.md:270).  Real pretrained-feature
+    numbers when a CLIP checkpoint asset is available (--clip /
+    GIGAGAN_CLIP_CKPT / assets/); otherwise runs on random-init CLIP and
+    the output says so via clip_is_real/mock_reasons."""
+    import numpy as np
+
+    gan, ckpt = _load_model_folder(args.models)
+    assert not gan.train_upsampler, (
+        "evaluate samples the base generator; upsampler evaluation needs "
+        "a lowres source — use `upsample` + your own metric loop"
+    )
+    from gigagan_tpu.eval import QualityEvaluator
+    from gigagan_tpu.models.clip import OpenClipAdapter
+
+    clip_path = args.clip or os.environ.get("GIGAGAN_CLIP_CKPT")
+    if not clip_path:
+        default_asset = Path("assets/vit_b_32-laion400m_e32.pt")
+        clip_path = str(default_asset) if default_asset.exists() else None
+    ev = QualityEvaluator(OpenClipAdapter(pretrained=clip_path),
+                          batch_size=max(args.batch, 8))
+
+    ds = _make_dataset(args, gan.G.image_size)
+    reals = np.stack(
+        [np.asarray(ds[i % len(ds)], np.float32) for i in range(args.num)]
+    )
+    fakes = []
+    for i in range(0, args.num, args.batch):
+        b = min(args.batch, args.num - i)
+        fakes.append(np.clip(
+            gan.generate(batch_size=b, seed=(args.seed or 0) + i,
+                         use_ema=not args.no_ema),
+            0.0, 1.0,
+        ))
+    result = {
+        "metric": "clip_fid",
+        "checkpoint": str(ckpt),
+        "steps_trained": int(gan.steps),
+        **ev.clip_fid(reals, np.concatenate(fakes)),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line + "\n")
+    return 0
+
+
 def _cmd_upsample(args):
     import numpy as np
 
@@ -302,6 +352,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sample the raw generator instead of EMA")
     g.add_argument("--out", default="samples.png")
     g.set_defaults(fn=_cmd_generate)
+
+    e = sub.add_parser(
+        "evaluate",
+        help="CLIP-FID of EMA samples vs a real set (FID substitute)",
+    )
+    e.add_argument("--models", required=True,
+                   help="model folder written by `train`")
+    e.add_argument("--data", help="real-image folder")
+    e.add_argument("--mock-data", action="store_true",
+                   help="synthetic real set (smoke runs)")
+    e.add_argument("--hflip", action="store_true", help=argparse.SUPPRESS)
+    e.add_argument("--num", type=int, default=256,
+                   help="samples per side of the Frechet fit")
+    e.add_argument("--batch", type=int, default=8)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--no-ema", action="store_true")
+    e.add_argument("--clip", default=None,
+                   help="CLIP torch checkpoint for real-feature metrics")
+    e.add_argument("--out", default=None, help="also write the JSON here")
+    e.set_defaults(fn=_cmd_evaluate)
 
     u = sub.add_parser("upsample", help="super-resolve an image file")
     u.add_argument("--models", required=True)

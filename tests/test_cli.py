@@ -94,6 +94,23 @@ def test_generate_from_model_folder(trained_folder, tmp_path):
     assert img.std() > 0  # not a constant image
 
 
+def test_evaluate_from_model_folder(trained_folder, tmp_path, capsys):
+    """`evaluate` computes CLIP-FID of EMA samples vs a real set and is
+    honest about mock CLIP weights (no asset on this box)."""
+    models, _ = trained_folder
+    out = tmp_path / "eval.json"
+    rc = main([
+        "evaluate", "--models", str(models), "--mock-data",
+        "--num", "8", "--batch", "4", "--out", str(out),
+    ])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["metric"] == "clip_fid"
+    assert rec["n_real"] == rec["n_fake"] == 8
+    assert np.isfinite(rec["clip_fid"]) and rec["clip_fid"] >= 0
+    assert rec["clip_is_real"] is False and rec["mock_reasons"]
+
+
 def test_resume_auto(trained_folder):
     models, results = trained_folder
     rc = main([
